@@ -1,0 +1,165 @@
+"""SEG-like low-complexity masking.
+
+Behavioral contract: reference lib/fsearch.py:2854-2946.
+
+Quirk reproduced faithfully: entropy() double-counts every character of the
+first window (fsearch.py:2857-2859), and the sliding update then adds or
+removes chars only *once* (fsearch.py:2895-2898).  The effective count used
+for the entropy of window i is therefore c0(char) + ci(char), where c0 is the
+first window's count — i.e. the running entropy depends on the first window
+for the whole sequence.  Frequencies use denominator 12 and sum to 2.
+
+- mask[i] = entropy-like value < 2.2 for window [i, i+12).
+- If mask[n-12] is set, the whole tail is masked (fsearch.py:2909-2912).
+- A masked start emits twelve 'x' and skips 12 positions (fsearch.py:2918-2928).
+- A second pass dilates each 'x' by ±8 and merges islands
+  (fsearch.py:2930-2946); the search pipeline uses the *first* output.
+
+Two implementations: a sequential python oracle and a batched JAX one.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from math import log
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import SEG_MIN_ENT, SEG_WINDOW
+
+_X = ord('x')
+
+
+def _ent_from_counts(counts, denom: float) -> float:
+    ent = 0.0
+    for c in counts.values():
+        if c > 0:
+            f = c / denom
+            ent -= f * log(f)
+    return ent / log(2)
+
+
+def seg_string(S: str, minent: float = SEG_MIN_ENT,
+               window: int = SEG_WINDOW) -> tuple[str, str]:
+    """Sequential oracle implementation; returns (expanded, merged)."""
+    s = S.upper()
+    n = len(s)
+    w = window
+    mask = np.zeros(max(n, 1), dtype=np.int8)
+
+    win = s[:w]
+    counts = Counter(win)
+    for c in win:
+        counts[c] += 1           # double-count, like reference entropy()
+    denom = float(len(win)) if win else 1.0
+    if n and _ent_from_counts(counts, denom) < minent:
+        mask[0] = 1
+    for i in range(1, n - w + 1):
+        pre, cur = s[i - 1], s[i + w - 1]
+        if pre != cur:
+            counts[pre] -= 1     # reference slides by +-1, not +-2
+            counts[cur] += 1
+        if _ent_from_counts(counts, float(w)) < minent:
+            mask[i] = 1
+    nws = max(0, n - w)
+    if n and mask[nws] == 1:
+        mask[nws:n] = 1
+
+    out = []
+    st = 0
+    while st < n:
+        if mask[st] == 0:
+            out.append(s[st])
+            st += 1
+        else:
+            out.append('x' * w)
+            st += w
+    output = ''.join(out)[:n]
+
+    cover = np.zeros(n, dtype=bool)
+    for i, ch in enumerate(output):
+        if ch == 'x':
+            cover[max(i - 8, 0):min(i + 9, n)] = True
+    merged = ''.join('x' if cover[i] else output[i] for i in range(n))
+    return output, merged
+
+
+# ---------------------------------------------------------------------------
+# Batched JAX implementation
+# ---------------------------------------------------------------------------
+
+_NBINS = 32
+
+
+def _tok_bins(tok_u: jnp.ndarray) -> jnp.ndarray:
+    """Map uppercased bytes to one of 32 bins: A..Z -> 1..26, other -> 27+b%5."""
+    is_alpha = (tok_u >= 65) & (tok_u <= 90)
+    return jnp.where(is_alpha, tok_u - 64, 27 + (tok_u % 5)).astype(jnp.int32)
+
+
+def _gent(c: jnp.ndarray, denom) -> jnp.ndarray:
+    """Entropy contribution -f*log2(f) with f = c/denom."""
+    f = c.astype(jnp.float32) / denom
+    return jnp.where(c > 0, -f * jnp.log2(jnp.maximum(f, 1e-30)), 0.0)
+
+
+@jax.jit
+def seg_batch(tokens: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized seg over a padded (B, L) uint8 batch; returns masked+upper
+    tokens (the reference's first output). Padding tail is left untouched."""
+    B, L = tokens.shape
+    w = SEG_WINDOW
+    tok_u = jnp.where((tokens >= 97) & (tokens <= 122),
+                      tokens - 32, tokens).astype(jnp.uint8)
+    lengths = lengths.astype(jnp.int32)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = pos < lengths[:, None]
+    bins = jnp.where(valid, _tok_bins(tok_u), _NBINS - 1)
+
+    n = lengths
+    ent = jnp.zeros((B, L), dtype=jnp.float32)      # windows [i, i+12)
+    ent_whole = jnp.zeros((B,), dtype=jnp.float32)  # short-seq single window
+    denom_whole = jnp.maximum(n.astype(jnp.float32), 1.0)
+    nwin = L - w + 1
+    for b in range(_NBINS):
+        oh = (bins == b) & valid
+        cs = jnp.cumsum(oh.astype(jnp.int32), axis=1)
+        cs0 = jnp.pad(cs, ((0, 0), (1, 0)))         # exclusive prefix sums
+        if nwin > 0:
+            ci = cs0[:, w:] - cs0[:, :-w]           # count in window i
+            c0 = cs0[:, w][:, None]                 # first-window count
+            ent = ent.at[:, :nwin].add(_gent(c0 + ci, float(w)))
+        ent_whole += _gent(2 * cs[:, -1], denom_whole)  # doubled counts
+
+    if nwin > 0:
+        mask = (ent < SEG_MIN_ENT) & (pos <= (n - w)[:, None]) & (n[:, None] >= w)
+    else:
+        mask = jnp.zeros((B, L), dtype=bool)
+    short_all = (n < w)[:, None] & (ent_whole < SEG_MIN_ENT)[:, None] & valid
+    mask = mask | short_all
+    nws = jnp.maximum(n - w, 0)
+    tail_bit = jnp.take_along_axis(mask, nws[:, None].astype(jnp.int32), axis=1)
+    mask = mask | (tail_bit & (pos >= nws[:, None]) & (n[:, None] >= w) & valid)
+
+    def step(cd, m):
+        is_x = (cd > 0) | m
+        new_cd = jnp.where(cd > 0, cd - 1, jnp.where(m, w - 1, 0))
+        return new_cd, is_x
+
+    _, xcols = jax.lax.scan(step, jnp.zeros((B,), jnp.int32), mask.T)
+    x_out = xcols.T & valid
+    return jnp.where(x_out, jnp.uint8(_X), tok_u)
+
+
+def seg_batch_np(tokens: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Oracle-backed batch version (host, sequential) for tests."""
+    out = tokens.copy()
+    for r in range(tokens.shape[0]):
+        n = int(lengths[r])
+        s = tokens[r, :n].tobytes().decode('latin-1')
+        e, _ = seg_string(s)
+        out[r, :n] = np.frombuffer(e.encode('latin-1'), dtype=np.uint8)
+    return out

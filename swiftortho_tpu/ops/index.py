@@ -1,0 +1,96 @@
+"""Spaced-seed inverted index (counting-sort CSR).
+
+Behavioral contract: reference ``Fasta.build_msav`` (lib/fsearch.py:2208-2280):
+- bucket count array over NC buckets; threshold = int(mu + 2*sd) of the
+  nonzero bucket counts, with the reference's off-by-one divisor (its
+  get_mu_sd divides by count+1, fsearch.py:746-761);
+- exclusive scan -> CSR offsets; postings are global residue offsets
+  (chunk-local soas prefix sums + in-sequence position);
+- NC comes from the CLI -M parameter (find_hit.py default 120000000); the
+  reference's internal bins formula is dead code due to the scale
+  overwrite at fsearch.py:2216.
+
+Host (numpy) implementation; the posting arrays then feed the vectorized
+candidate stage.  A chunk covers sequences [start, end) of the reference
+set (default 50000 per chunk, find_hit.py -c).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import sqrt
+from typing import List
+
+import numpy as np
+
+from ..constants import reduced_alphabet_table
+from ..io_fasta import SeqDB
+from .seeds import hash_seeds_flat, min_pattern_len
+
+
+def ref_mu_sd(counts: np.ndarray) -> tuple[float, float]:
+    """mu/sd over strictly-positive entries with the reference's
+    divide-by-(n+1) quirk (fsearch.py:746-761)."""
+    pos = counts[counts > 0].astype(np.float64)
+    n = len(pos) + 1
+    mu = float(pos.sum()) / n
+    sd = sqrt(float(((pos - mu) ** 2).sum()) / n)
+    return mu, sd
+
+
+@dataclass
+class SeedIndex:
+    nc: int
+    start: np.ndarray          # (nc+1,) int64 CSR offsets
+    locus: np.ndarray          # (n_postings,) int64 global residue offsets
+    soas: np.ndarray           # (chunk_len+1,) int64 prefix sums of seq lens
+    seq_offset: int            # global id of first sequence in chunk
+    threshold: int             # mu + 2 sd bucket-count gate
+    mink: int                  # shortest pattern length
+
+    def posting_range(self, buckets: np.ndarray):
+        return self.start[buckets], self.start[buckets + 1]
+
+    def bucket_counts(self, buckets: np.ndarray) -> np.ndarray:
+        return self.start[buckets + 1] - self.start[buckets]
+
+    def decode_locus(self, loc: np.ndarray):
+        """global residue offset -> (global sequence id, in-seq position)."""
+        idx = np.searchsorted(self.soas, loc, side='right') - 1
+        return idx + self.seq_offset, loc - self.soas[idx]
+
+
+def build_index(db: SeqDB, start: int, end: int, alphabets: List[str],
+                ssps: str, nc: int, step: int = 1,
+                threshold_override: int = -1) -> SeedIndex:
+    """Build the CSR seed index for reference sequences [start, end)."""
+    end = min(end, len(db))
+    lens = db.lengths[start:end].astype(np.int64)
+    soas = np.zeros(end - start + 1, dtype=np.int64)
+    np.cumsum(lens, out=soas[1:])
+    chunk_tokens = db.tokens[db.offsets[start]:db.offsets[end]]
+    seq_of = np.repeat(np.arange(end - start, dtype=np.int64), lens)
+
+    bs, ps = [], []
+    for alpha in alphabets:
+        tbl = reduced_alphabet_table(alpha)
+        b, p = hash_seeds_flat(chunk_tokens, seq_of, tbl, ssps, nc, step)
+        bs.append(b)
+        ps.append(p)
+    b = np.concatenate(bs) if bs else np.zeros(0, np.int64)
+    p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
+
+    counts = np.bincount(b, minlength=nc)
+    mu, sd = ref_mu_sd(counts)
+    threshold = int(mu + 2 * sd)
+    if threshold_override >= 1:
+        threshold = threshold_override
+
+    csr = np.zeros(nc + 1, dtype=np.int64)
+    np.cumsum(counts, out=csr[1:])
+    order = np.argsort(b, kind='stable')
+    locus = p[order]            # p is already the chunk-global residue offset
+
+    return SeedIndex(nc=nc, start=csr, locus=locus, soas=soas,
+                     seq_offset=start, threshold=threshold,
+                     mink=min_pattern_len(ssps))

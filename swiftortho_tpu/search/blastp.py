@@ -1,0 +1,289 @@
+"""End-to-end all-vs-all protein search (single device).
+
+Behavioral contract: the reference ``blastp`` driver (lib/fsearch.py:2968-3121)
+and its output format (fsearch.py:3230-3256):
+
+- the reference set is indexed in chunks (-c sequences each); every query
+  collects candidates from every chunk, merged and ranked by chain score;
+- vmax = max(100, v+100, v*1.1) candidates are aligned per query with the
+  banded SW kernel; E-filter at -e; early-stop after ``mmiss`` consecutive
+  misses (mmiss = clamp(len(hits)*max_miss+1 vs 100/that, [10,120]),
+  fsearch.py:3052-3054) or v+mmiss hits;
+- pairs with a side >= 4096 are aligned in 4096x4096 diagonal tiles, one
+  m8 row per passing tile (kswat_st_long, fsearch.py:1480-1498);
+- survivors sorted by bit desc, top v emitted as 16 tab columns:
+  qid sid idy aln mis gap qst+1 qed sst+1 sed E bit qlen slen qidx sdesc.
+
+TPU mapping: queries are seg-masked and seeded in batches; candidate pairs
+from a whole query wave are length-bucketed and aligned in big parallel
+batches on device; the sequential early-stop policy is *simulated post-hoc*
+per query (alignment of candidates the reference would have skipped costs
+extra FLOPs but changes nothing observable).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from typing import IO, Iterator, List
+
+import numpy as np
+
+from ..config import SearchConfig
+from ..constants import LONG_SEQ_TILE
+from ..io_fasta import SeqDB
+from ..ops.banded_sw import postprocess_batch, sw_align_batch
+from ..ops.index import build_index
+from ..ops.seg import seg_batch
+from ..ops.stats import f2s
+from .candidates import Candidates, generate_candidates
+
+
+def _fmt_idy(idy: float) -> str:
+    s = str(idy)
+    end = max(0, s.find('.') + 3)
+    return s[:end]
+
+
+@dataclass
+class _QueryWork:
+    """Per-wave state: masked tokens and merged candidates."""
+    q_index: np.ndarray      # global query ids in this wave
+    tokens: np.ndarray       # (B, L) masked query tokens
+    lengths: np.ndarray      # (B,)
+    cands: List[Candidates]
+
+
+def _mask_queries(qry: SeqDB, idx: np.ndarray, pad: int, flt: bool):
+    toks, lens = qry.padded_batch(idx, pad)
+    if flt:
+        toks = np.asarray(seg_batch(toks, lens))
+    return toks, lens
+
+
+def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
+                 band_q, band_s, buckets) -> dict:
+    """Align candidate pairs with the reference swap rule, bucketed by
+    padded suffix length.  Returns reference-coordinate results."""
+    n = len(qrow)
+    lq = q_lengths[qrow].astype(np.int64)
+    ls = (db.offsets[subject + 1] - db.offsets[subject]).astype(np.int64)
+    sufq = lq - band_q
+    sufs = ls - band_s
+    swapped = ~(sufq < sufs)          # reference: no swap iff |q| < |s|
+    col_len = np.where(swapped, sufs, sufq)
+    row_len = np.where(swapped, sufq, sufs)
+    pad_need = np.maximum(col_len, row_len)
+
+    out = {k: np.zeros(n, dtype=np.int64)
+           for k in ('idy_n', 'aln', 'mis', 'gap', 'qst', 'qed', 'sst',
+                     'sed', 'score')}
+    out['idy'] = np.zeros(n, dtype=np.float64)
+    out['bit'] = np.zeros(n, dtype=np.int64)
+
+    order = np.argsort(pad_need, kind='stable')
+    done = 0
+    L = q_tokens.shape[1]
+    for bucket in buckets:
+        hi = np.searchsorted(pad_need[order], bucket, side='right')
+        sel = order[done:hi]
+        done = hi
+        if len(sel) == 0:
+            continue
+        B = len(sel)
+        t0 = np.zeros((B, bucket), np.uint8)
+        t1 = np.zeros((B, bucket), np.uint8)
+        l0 = np.zeros(B, np.int32)
+        l1 = np.zeros(B, np.int32)
+        for r, p in enumerate(sel):
+            if swapped[p]:
+                c_tok = db.tokens[db.offsets[subject[p]] + band_s[p]:
+                                  db.offsets[subject[p] + 1]]
+                w_tok = q_tokens[qrow[p], band_q[p]:lq[p]]
+            else:
+                c_tok = q_tokens[qrow[p], band_q[p]:lq[p]]
+                w_tok = db.tokens[db.offsets[subject[p]] + band_s[p]:
+                                  db.offsets[subject[p] + 1]]
+            t0[r, :len(c_tok)] = c_tok[:bucket]
+            t1[r, :min(len(w_tok), bucket)] = w_tok[:bucket]
+            l0[r] = min(len(c_tok), bucket)
+            l1[r] = min(len(w_tok), bucket)
+        best = sw_align_batch(t0, t1, l0, l1)
+        res = postprocess_batch(best, band_q[sel], band_s[sel], swapped[sel])
+        for k in ('aln', 'mis', 'gap', 'qst', 'qed', 'sst', 'sed',
+                  'score', 'bit'):
+            out[k][sel] = res[k]
+        out['idy'][sel] = res['idy']
+    return out
+
+
+def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig) -> Iterator[str]:
+    """Yield m8 rows for all queries (index order)."""
+    alphabets = cfg.resolved_alphabets()
+    chunk = cfg.effective_chunk()
+    D = len(ref)
+    nq = len(qry)
+    maxq = int(qry.lengths.max()) if nq else 0
+    pad = 1
+    while pad < maxq:
+        pad *= 2
+    pad = max(pad, 64)
+
+    vmax = int(max(100, max(cfg.v + 100, cfg.v * 1.1)))
+
+    for wst in range(0, nq, cfg.query_batch):
+        wend = min(wst + cfg.query_batch, nq)
+        idx = np.arange(wst, wend, dtype=np.int64)
+        toks, lens = _mask_queries(qry, idx, pad, cfg.filter_query)
+
+        cands: List[Candidates] = []
+        for cst in range(0, D, chunk):
+            index = build_index(ref, cst, min(cst + chunk, D), alphabets,
+                                cfg.seeds, cfg.nc, cfg.step,
+                                threshold_override=cfg.threshold)
+            cands.append(generate_candidates(toks, lens, ref, index,
+                                             alphabets, cfg.seeds))
+
+        qrow = np.concatenate([c.qrow for c in cands])
+        subj = np.concatenate([c.subject for c in cands])
+        csc = np.concatenate([c.score for c in cands])
+        bq = np.concatenate([c.band_q for c in cands])
+        bs = np.concatenate([c.band_s for c in cands])
+
+        # per query: rank by chain score desc (ties: subject asc), cut vmax
+        order = np.lexsort((subj, -csc, qrow))
+        qrow, subj, csc, bq, bs = (qrow[order], subj[order], csc[order],
+                                   bq[order], bs[order])
+        new_q = np.ones(len(qrow), dtype=bool)
+        new_q[1:] = qrow[1:] != qrow[:-1]
+        rank = np.arange(len(qrow)) - np.maximum.accumulate(
+            np.where(new_q, np.arange(len(qrow)), 0))
+        nhits_of = np.zeros(wend - wst, dtype=np.int64)
+        np.add.at(nhits_of, qrow, 1)
+        cut = rank < vmax
+        qrow, subj, csc, bq, bs = (qrow[cut], subj[cut], csc[cut],
+                                   bq[cut], bs[cut])
+
+        # long-pair split: either side >= 4096 goes to the tiled path
+        lq_all = lens[qrow].astype(np.int64)
+        ls_all = (ref.offsets[subj + 1] - ref.offsets[subj]).astype(np.int64)
+        is_long = (lq_all >= LONG_SEQ_TILE) | (ls_all >= LONG_SEQ_TILE)
+
+        res = _align_pairs(toks, lens, ref, qrow[~is_long], subj[~is_long],
+                           bq[~is_long], bs[~is_long], cfg.align_buckets)
+        n_pairs = len(qrow)
+        full = {k: np.zeros(n_pairs, dtype=res[k].dtype) for k in res}
+        for k in res:
+            full[k][~is_long] = res[k]
+
+        # tiled long pairs: one row list per pair
+        long_rows = {}
+        for p in np.flatnonzero(is_long):
+            long_rows[p] = _align_long_pair(
+                toks, lens, ref, int(qrow[p]), int(subj[p]),
+                int(bq[p]), int(bs[p]))
+
+        # --- per-query policy + output (qrow is sorted) ---
+        q_lo = np.searchsorted(qrow, np.arange(wend - wst))
+        q_hi = np.searchsorted(qrow, np.arange(wend - wst), side='right')
+        for r in range(wend - wst):
+            sel = np.arange(q_lo[r], q_hi[r])
+            if len(sel) == 0:
+                continue
+            gi = wst + r
+            qlen = int(lens[r])
+            hid = qry.ids[gi]
+            nhits = int(nhits_of[r])
+            mmiss = nhits * cfg.max_miss + 1
+            mmiss = max(mmiss, 100.0 / mmiss)
+            mmiss = min(max(mmiss, 10), 120)
+            unmch = 0
+            bv = 0
+            rows = []
+            for p in sel:
+                j = int(subj[p])
+                slen = int(ls_all[p])
+                if not is_long[p]:
+                    bit = int(full['bit'][p])
+                    e = D * qlen * slen * (2.0 ** -bit)
+                    if e <= cfg.expect:
+                        rows.append((
+                            float(full['idy'][p]), int(full['aln'][p]),
+                            int(full['mis'][p]), int(full['gap'][p]),
+                            int(full['qst'][p]) + 1, int(full['qed'][p]),
+                            int(full['sst'][p]) + 1, int(full['sed'][p]),
+                            e, bit, j, slen))
+                        unmch = 0
+                        bv += 1
+                    else:
+                        unmch += 1
+                else:
+                    hit_any = False
+                    for tile in long_rows[p]:
+                        bit = tile['bit']
+                        e = D * qlen * slen * (2.0 ** -bit)
+                        if e <= cfg.expect:
+                            rows.append((tile['idy'], tile['aln'],
+                                         tile['mis'], tile['gap'],
+                                         tile['qst'] + 1, tile['qed'],
+                                         tile['sst'] + 1, tile['sed'],
+                                         e, bit, j, slen))
+                            hit_any = True
+                            bv += 1
+                    if hit_any:
+                        unmch = 0
+                    else:
+                        unmch += 1
+                if unmch >= mmiss or bv >= cfg.v + mmiss:
+                    break
+
+            rows.sort(key=lambda x: -x[9])
+            for row in rows[:max(0, cfg.v)]:
+                (idy, aln, mis, gap, qst1, qed, sst1, sed,
+                 e, bit, j, slen) = row
+                yield ('%s\t%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%s\t%f'
+                       '\t%d\t%d\t%d\t%s\n' % (
+                           hid, ref.ids[j], _fmt_idy(idy), aln, mis, gap,
+                           qst1, qed, sst1, sed, f2s(e), float(bit),
+                           qlen, slen, gi, ref.headers[j]))
+
+
+def _align_long_pair(q_tokens, q_lengths, ref: SeqDB, qrow: int, sid: int,
+                     qi: int, qj: int, tile: int = LONG_SEQ_TILE):
+    """Reference kswat_st_long: 4096x4096 diagonal tiles, one result per
+    tile (fsearch.py:1480-1498)."""
+    from ..ops.banded_sw import kswat_oracle
+
+    lq = int(q_lengths[qrow])
+    sqi = q_tokens[qrow, :lq].tobytes().decode('latin-1')
+    sqj = ref.seq_str(sid)
+    out = []
+    j = qj
+    for i in range(qi, len(sqi), tile):
+        i0, ied = max(0, i), max(0, i + tile)
+        j0, jed = max(0, j), max(0, j + tile)
+        o = kswat_oracle(sqi[i0:ied], sqj[j0:jed])
+        out.append({'idy': o.idy, 'aln': o.aln, 'mis': o.mis, 'gap': o.gap,
+                    'qst': o.qst + i0, 'qed': o.qed + i0,
+                    'sst': o.sst + j0, 'sed': o.sed + j0, 'bit': o.bit})
+        j += tile
+    return out
+
+
+def blastp_to_file(qry_path: str, ref_path: str, out: IO[str] | str,
+                   cfg: SearchConfig | None = None):
+    cfg = cfg or SearchConfig()
+    qry = SeqDB.from_path(qry_path)
+    ref = SeqDB.from_path(ref_path)
+    fh = open(out, 'w') if isinstance(out, str) else out
+    try:
+        buf = []
+        for row in blastp_stream(qry, ref, cfg):
+            buf.append(row)
+            if len(buf) >= 10000:
+                fh.write(''.join(buf))
+                buf = []
+        fh.write(''.join(buf))
+    finally:
+        if isinstance(out, str):
+            fh.close()

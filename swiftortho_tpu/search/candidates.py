@@ -1,0 +1,269 @@
+"""Candidate generation: query seeding, posting expansion, diagonal
+chaining, ungapped x-drop scoring.
+
+Behavioral contract: reference ``Fasta.find_msav_m`` (lib/fsearch.py:2645-2724)
+with ``ungap``/``get_ungap_scores`` (fsearch.py:2454-2510):
+
+- per-position self-score windows of length mink (rolling BLOSUM62 diagonal);
+- seed-budget heuristic: positions sorted by self-score desc, kept while the
+  exclusive cumulative posting count <= threshold * len(query);
+- postings grouped by (subject, diagonal) — the live path passes kbound=1 to
+  find_msav_m so groups are *exact* diagonals, and the LIS over a sorted
+  exact diagonal is just per-position dedup;
+- chain score = sum of two-way ungapped x-drop extensions over the chain
+  points, each left-bounded by the previous extension's end
+  (get_ungap_scores); a seed at query/subject position 0 contributes 0
+  (ungap's strict `lo < pos` bound, fsearch.py:2466);
+- candidates gated at chain score >= 25, best chain per subject, band
+  anchor = the chain diagonal (guess_start over same-diagonal points),
+  ranked by score desc.
+
+Chain points already covered by a previous extension contribute exactly 0
+in the reference (the off-shift at fsearch.py:2460-2462 moves the start onto
+the strict qlo bound, so neither walk runs) — skipping them is exact.  The
+only deviation: extensions are windowed at EXT_CAP=1024 residues per
+direction (reference: unbounded), which can only lower the chain score of
+ultra-long perfect diagonals and perturb candidate *ranking* in rare cases.
+
+All heavy steps are vectorized numpy over every (query, chunk) batch at
+once; a lockstep sweep handles the sequential point-chaining.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import B62_BYTES, MIN_CHAIN_SCORE, XDROP
+from ..io_fasta import SeqDB
+from ..ops.index import SeedIndex
+from ..ops.seeds import hash_seeds_batch
+
+EXT_CAP = 1024      # max residues per x-drop direction (see docstring)
+MAX_ROUNDS = 64     # max chain points processed per (subject, diagonal)
+
+_B62_I16 = B62_BYTES.astype(np.int16)
+
+
+@dataclass
+class Candidates:
+    """Ranked alignment candidates for a query batch (flat arrays)."""
+    qrow: np.ndarray      # (N,) query row in the batch
+    subject: np.ndarray   # (N,) global subject id
+    score: np.ndarray     # (N,) chain score
+    band_q: np.ndarray    # (N,) band start in query  (guess_start qi)
+    band_s: np.ndarray    # (N,) band start in subject (guess_start qj)
+
+
+def _self_score_budget(tokens: np.ndarray, lengths: np.ndarray,
+                       rows: np.ndarray, qst: np.ndarray,
+                       counts: np.ndarray, mink: int,
+                       threshold: float) -> np.ndarray:
+    """Reference's seed-budget heuristic (fsearch.py:2645-2677).
+
+    Returns a bool keep-mask over the seed arrays (rows/qst/counts).
+    Positions are ranked per query by the BLOSUM62 self-score of their
+    mink-window (desc; ties by position asc — the reference's qsort is
+    unstable here), kept while the exclusive cumsum of posting counts
+    stays <= threshold * qlen.
+    """
+    B, L = tokens.shape
+    diag_self = _B62_I16[tokens, tokens].astype(np.int64)   # (B, L)
+    cs = np.zeros((B, L + 1), dtype=np.int64)
+    np.cumsum(diag_self, axis=1, out=cs[:, 1:])
+    nwin = L - mink + 1
+    kscs = cs[:, mink:] - cs[:, :-mink] if nwin > 0 else np.zeros((B, 0))
+
+    # per-seed position histogram: total postings at each (row, qst)
+    hist = np.zeros((B, max(nwin, 1)), dtype=np.int64)
+    np.add.at(hist, (rows, qst), counts)
+
+    keep_pos = np.zeros((B, max(nwin, 1)), dtype=bool)
+    budgets = threshold * lengths.astype(np.float64)
+    # vectorized per-row sort by (-ksc, pos)
+    order = np.lexsort((np.broadcast_to(np.arange(max(nwin, 1)), hist.shape),
+                        -kscs)) if nwin > 0 else None
+    if nwin > 0:
+        sorted_hist = np.take_along_axis(hist, order, axis=1)
+        excl = np.zeros_like(sorted_hist)
+        np.cumsum(sorted_hist[:, :-1], axis=1, out=excl[:, 1:])
+        keep_sorted = excl <= budgets[:, None]
+        np.put_along_axis(keep_pos, order, keep_sorted, axis=1)
+    return keep_pos[rows, qst]
+
+
+def _xdrop_window(dvals: np.ndarray, valid: np.ndarray, base: np.ndarray):
+    """Vectorized one-direction x-drop over (G, W) windows.
+
+    dvals: substitution scores in walk order; valid: in-bounds mask;
+    base: (G,) starting score (0 for the right phase, best_r for left).
+    Returns (best, best_t): running max (>= base) and index of the max
+    step (-1 if the max is the base itself).  Walk semantics match
+    ungap (fsearch.py:2454-2494): each in-bounds step adds its score;
+    stop *after* the first step whose total drops more than XDROP below
+    the running max; out-of-bounds stops before the step.
+    """
+    G, W = dvals.shape
+    d = np.where(valid, dvals.astype(np.int64), np.int64(-10 ** 9))
+    sums = base[:, None] + np.cumsum(d, axis=1)
+    runmax = np.maximum.accumulate(
+        np.concatenate([base[:, None], sums[:, :-1]], axis=1), axis=1)
+    stopped = sums + XDROP < runmax          # true at the breaking step
+    # steps strictly after a stop (or after an invalid step) don't count
+    dead = np.concatenate([np.zeros((G, 1), bool),
+                           np.logical_or.accumulate(stopped | ~valid,
+                                                    axis=1)[:, :-1]], axis=1)
+    alive_sums = np.where(dead | ~valid, np.int64(-10 ** 9), sums)
+    best = np.maximum(base, alive_sums.max(axis=1))
+    best_t = np.where(best > base, np.argmax(alive_sums, axis=1), -1)
+    return best, best_t
+
+
+def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
+                        db: SeqDB, index: SeedIndex, alphabets: list,
+                        ssps: str) -> Candidates:
+    """Candidates for a padded query batch against one index chunk."""
+    from ..constants import reduced_alphabet_table
+
+    B, L = q_tokens.shape
+    nc = index.nc
+
+    rows_l, buckets_l, qst_l = [], [], []
+    for alpha in alphabets:
+        tbl = reduced_alphabet_table(alpha)
+        r, b, p = hash_seeds_batch(q_tokens, q_lengths, tbl, ssps, nc)
+        rows_l.append(r)
+        buckets_l.append(b)
+        qst_l.append(p)
+    rows = np.concatenate(rows_l)
+    buckets = np.concatenate(buckets_l)
+    qst = np.concatenate(qst_l)
+
+    counts = index.bucket_counts(buckets)
+    keep = _self_score_budget(q_tokens, q_lengths, rows, qst, counts,
+                              index.mink, index.threshold)
+    rows, buckets, qst = rows[keep], buckets[keep], qst[keep]
+    counts = counts[keep]
+
+    # ---- posting expansion (CSR ranges -> flat posting list) ----
+    total = int(counts.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return Candidates(z, z, z, z, z)
+    starts, _ = index.posting_range(buckets)
+    seed_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    excl = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=excl[1:])
+    within = np.arange(total, dtype=np.int64) - excl[seed_of]
+    loc = index.locus[starts[seed_of] + within]
+    sid, sst = index.decode_locus(loc)
+    p_qrow = rows[seed_of]
+    p_qst = qst[seed_of]
+
+    # ---- exact-diagonal grouping + dedup ----
+    diag = p_qst - sst
+    # pack (qrow, sid, diag, qst) into a sortable structured order
+    order = np.lexsort((p_qst, diag, sid, p_qrow))
+    p_qrow, sid, diag, p_qst, sst = (p_qrow[order], sid[order], diag[order],
+                                     p_qst[order], sst[order])
+    same = np.zeros(total, dtype=bool)
+    same[1:] = ((p_qrow[1:] == p_qrow[:-1]) & (sid[1:] == sid[:-1])
+                & (diag[1:] == diag[:-1]))
+    new_group = ~same
+    dup = same.copy()
+    dup[1:] &= (p_qst[1:] == p_qst[:-1])
+    keep = ~dup
+    p_qrow, sid, diag, p_qst, sst = (p_qrow[keep], sid[keep], diag[keep],
+                                     p_qst[keep], sst[keep])
+    new_group = new_group[keep]
+    gid = np.cumsum(new_group) - 1
+    n_groups = int(gid[-1]) + 1
+
+    grp_start = np.flatnonzero(new_group)
+    grp_size = np.diff(np.append(grp_start, len(gid)))
+    g_qrow = p_qrow[grp_start]
+    g_sid = sid[grp_start]
+    g_diag = diag[grp_start]
+
+    # ---- lockstep chain scoring over groups ----
+    s_off = db.offsets[g_sid]
+    s_len = (db.offsets[g_sid + 1] - s_off).astype(np.int64)
+    q_len = q_lengths[g_qrow].astype(np.int64)
+
+    totalsc = np.zeros(n_groups, dtype=np.int64)
+    cover_x = np.full(n_groups, -2 ** 60, dtype=np.int64)  # qlo bound (excl)
+    ptr = grp_start.copy()
+    grp_end = grp_start + grp_size
+    first_ext = np.ones(n_groups, dtype=bool)
+
+    W = EXT_CAP
+    tok = db.tokens
+    for _ in range(MAX_ROUNDS):
+        act = ptr < grp_end
+        if not act.any():
+            break
+        p_now = np.where(act, p_qst[np.minimum(ptr, len(p_qst) - 1)], 0)
+        covered = act & ~first_ext & (p_now <= cover_x)
+        ext = act & ~covered
+        ptr[covered] += 1
+        ga = np.flatnonzero(ext)
+        if len(ga) == 0:
+            continue
+        p0 = p_qst[ptr[ga]]
+        s0 = p0 - g_diag[ga]                     # subject position of seed
+        qlo = np.where(first_ext[ga], 0, cover_x[ga])
+        slo = np.where(first_ext[ga], 0, qlo - g_diag[ga])
+        qlen, slen = q_len[ga], s_len[ga]
+
+        # right phase: walk t = 0.. from the seed; in-bounds needs
+        # lo < pos < len on both sequences (strict, reference ungap)
+        t = np.arange(W, dtype=np.int64)[None, :]
+        qpos = p0[:, None] + t
+        spos = s0[:, None] + t
+        validr = ((qpos > qlo[:, None]) & (qpos < qlen[:, None])
+                  & (spos > slo[:, None]) & (spos < slen[:, None]))
+        qi = q_tokens[g_qrow[ga][:, None], np.clip(qpos, 0, L - 1)]
+        sj = tok[np.clip(s_off[ga][:, None] + spos, 0, len(tok) - 1)]
+        dval = _B62_I16[qi, sj]
+        zero = np.zeros(len(ga), dtype=np.int64)
+        best_r, t_r = _xdrop_window(dval, validr, zero)
+        max_qed = np.where(t_r >= 0, p0 + t_r, p0)
+
+        # left phase: walk t = 0.. from seed-1 leftward
+        qposl = p0[:, None] - 1 - t
+        sposl = s0[:, None] - 1 - t
+        validl = ((qposl > qlo[:, None]) & (qposl < qlen[:, None])
+                  & (sposl > slo[:, None]) & (sposl < slen[:, None]))
+        qi = q_tokens[g_qrow[ga][:, None], np.clip(qposl, 0, L - 1)]
+        sj = tok[np.clip(s_off[ga][:, None] + sposl, 0, len(tok) - 1)]
+        dvall = _B62_I16[qi, sj]
+        best, _ = _xdrop_window(dvall, validl, best_r)
+
+        totalsc[ga] += best
+        cover_x[ga] = max_qed
+        first_ext[ga] = False
+        ptr[ga] += 1
+
+    # ---- per-subject best chain ----
+    ok = totalsc >= MIN_CHAIN_SCORE
+    g_qrow, g_sid, g_diag, totalsc = (g_qrow[ok], g_sid[ok], g_diag[ok],
+                                      totalsc[ok])
+    if len(totalsc) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return Candidates(z, z, z, z, z)
+    # keep max score per (qrow, subject); reference keeps the first
+    # encountered on ties (dict iteration) — we keep the smallest diagonal
+    order = np.lexsort((g_diag, -totalsc, g_sid, g_qrow))
+    g_qrow, g_sid, g_diag, totalsc = (g_qrow[order], g_sid[order],
+                                      g_diag[order], totalsc[order])
+    first = np.ones(len(g_qrow), dtype=bool)
+    first[1:] = (g_qrow[1:] != g_qrow[:-1]) | (g_sid[1:] != g_sid[:-1])
+    g_qrow, g_sid, g_diag, totalsc = (g_qrow[first], g_sid[first],
+                                      g_diag[first], totalsc[first])
+
+    # band anchor: guess_start over the chain diagonal (fsearch.py:2544-2553)
+    # dist = mean(sst - qst) = -diag; dist > 0 -> (0, dist) else (-dist, 0)
+    band_q = np.where(g_diag > 0, g_diag, 0)
+    band_s = np.where(g_diag > 0, 0, -g_diag)
+    return Candidates(g_qrow, g_sid, totalsc, band_q, band_s)

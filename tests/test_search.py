@@ -1,0 +1,188 @@
+"""Search stage: seeding, index, candidates, end-to-end blastp."""
+
+import io
+
+import numpy as np
+import pytest
+
+from swiftortho_tpu.config import SearchConfig
+from swiftortho_tpu.constants import AA9, AA20, reduced_alphabet_table
+from swiftortho_tpu.corpus import make_corpus
+from swiftortho_tpu.io_fasta import SeqDB
+from swiftortho_tpu.ops.index import build_index, ref_mu_sd
+from swiftortho_tpu.ops.seeds import (hash_seeds_batch, hash_seeds_flat,
+                                      parse_patterns)
+from swiftortho_tpu.search.blastp import blastp_stream
+from swiftortho_tpu.search.candidates import generate_candidates
+
+
+def _db(records):
+    return SeqDB.from_records(records)
+
+
+class TestSeeds:
+    def test_patterns(self):
+        pats = parse_patterns('1101,111')
+        assert pats[0][0] == 4 and list(pats[0][1]) == [0, 1, 3]
+        assert pats[1][0] == 3 and list(pats[1][1]) == [0, 1, 2]
+
+    def test_identical_windows_same_bucket(self):
+        tbl = reduced_alphabet_table(AA9)
+        toks = np.frombuffer(b'MKVLAWDEMKVLAWDE', np.uint8)
+        seq_of = np.zeros(16, np.int64)
+        b, p = hash_seeds_flat(toks, seq_of, tbl, '11111111', 1 << 20)
+        # window at 0 and window at 8 are identical -> same bucket
+        d = dict(zip(p.tolist(), b.tolist()))
+        assert d[0] == d[8]
+
+    def test_masked_windows_skipped(self):
+        tbl = reduced_alphabet_table(AA9)
+        toks = np.frombuffer(b'MKVLAWDExKVLAWDE', np.uint8)
+        b, p = hash_seeds_flat(toks, np.zeros(16, np.int64), tbl,
+                               '11111111', 1 << 20)
+        # any window covering position 8 ('x') is dropped
+        assert all(pos + 8 <= 8 or pos > 8 for pos in p)
+        assert 1 not in p.tolist()
+
+    def test_no_cross_sequence_windows(self):
+        tbl = reduced_alphabet_table(AA9)
+        toks = np.frombuffer(b'MKVLAWDEMKVLAWDE', np.uint8)
+        seq_of = np.repeat(np.array([0, 1], np.int64), 8)
+        b, p = hash_seeds_flat(toks, seq_of, tbl, '11111111', 1 << 20)
+        assert set(p.tolist()) == {0, 8}
+
+    def test_reduced_alphabet_collision(self):
+        # I and V are one aa9 group -> identical buckets
+        tbl = reduced_alphabet_table(AA9)
+        t1 = np.frombuffer(b'MKILAWDE', np.uint8)
+        t2 = np.frombuffer(b'MKVLAWDE', np.uint8)
+        z = np.zeros(8, np.int64)
+        b1, _ = hash_seeds_flat(t1, z, tbl, '11111111', 1 << 20)
+        b2, _ = hash_seeds_flat(t2, z, tbl, '11111111', 1 << 20)
+        assert b1.tolist() == b2.tolist()
+        # but distinct under aa20
+        tbl20 = reduced_alphabet_table(AA20)
+        b1, _ = hash_seeds_flat(t1, z, tbl20, '11111111', 1 << 20)
+        b2, _ = hash_seeds_flat(t2, z, tbl20, '11111111', 1 << 20)
+        assert b1.tolist() != b2.tolist()
+
+    def test_batch_matches_flat(self):
+        tbl = reduced_alphabet_table(AA9)
+        toks = np.zeros((2, 16), np.uint8)
+        toks[0, :12] = np.frombuffer(b'MKVLAWDERTYH', np.uint8)
+        toks[1, :10] = np.frombuffer(b'ACDEFGHIKL', np.uint8)
+        lens = np.array([12, 10], np.int32)
+        r, b, p = hash_seeds_batch(toks, lens, tbl, '11111111', 1 << 20)
+        f0, q0 = hash_seeds_flat(toks[0, :12], np.zeros(12, np.int64),
+                                 tbl, '11111111', 1 << 20)
+        assert sorted(b[r == 0].tolist()) == sorted(f0.tolist())
+        # no seeds reaching into padding
+        assert (p[r == 1] <= 2).all()
+
+
+class TestIndex:
+    def test_mu_sd_quirk(self):
+        # reference divides by n+1 (fsearch.py:746-761)
+        c = np.array([0, 4, 4, 4, 0])
+        mu, sd = ref_mu_sd(c)
+        assert mu == pytest.approx(12 / 4)       # 3 positives, divisor 4
+        assert sd == pytest.approx(np.sqrt(3 * 1.0 / 4))
+
+    def test_csr_roundtrip(self):
+        db = _db([('t|a', 'MKVLAWDERTYH'), ('t|b', 'MKVLAWDERTYH')])
+        ix = build_index(db, 0, 2, [AA9], '11111111', 1 << 16)
+        # both sequences produce the same 5 windows; every bucket holds 2
+        counts = np.diff(ix.start)
+        nz = counts[counts > 0]
+        assert (nz == 2).all()
+        sid, sst = ix.decode_locus(ix.locus)
+        assert set(sid.tolist()) == {0, 1}
+        assert sst.max() <= 12 - 8
+
+    def test_chunk_offsets(self):
+        db = _db([('t|a', 'MKVLAWDERTYH'), ('t|b', 'ACDEFGHIKLMNP'),
+                  ('t|c', 'MKVLAWDERTYH')])
+        ix = build_index(db, 1, 3, [AA9], '11111111', 1 << 16)
+        sid, _ = ix.decode_locus(ix.locus)
+        assert set(sid.tolist()) == {1, 2}
+
+
+class TestCandidates:
+    def test_self_hit_found(self):
+        seq = 'MKVLAWDERTYHACDEFGHIKLMNPQRSTVWYMKVLAWDERTYH'
+        db = _db([('t|a', seq), ('t|b', 'PPPPGGGGWWWWHHHHCCCC' * 3)])
+        ix = build_index(db, 0, 2, [AA9], '11111111', 1 << 16)
+        toks, lens = db.padded_batch(np.array([0]), 64)
+        c = generate_candidates(toks, lens, db, ix, [AA9], '11111111')
+        assert 0 in c.subject.tolist()
+        best = c.score[c.subject == 0][0]
+        # self chain should score roughly the full self-score
+        assert best > 150
+        assert (c.score >= 25).all()
+
+    def test_homolog_ranked_above_noise(self, rng):
+        base = ''.join('ACDEFGHIKLMNPQRSTVWY'[i]
+                       for i in rng.integers(0, 20, 200))
+        # homolog: a few substitutions
+        hom = base[:50] + 'A' + base[51:120] + 'G' + base[121:]
+        noise = ''.join('ACDEFGHIKLMNPQRSTVWY'[i]
+                        for i in rng.integers(0, 20, 200))
+        db = _db([('t|h', hom), ('t|n', noise)])
+        ix = build_index(db, 0, 2, [AA9], '11111111', 1 << 16)
+        qdb = _db([('q|q', base)])
+        toks, lens = qdb.padded_batch(np.array([0]), 256)
+        c = generate_candidates(toks, lens, db, ix, [AA9], '11111111')
+        assert len(c.subject) >= 1
+        assert c.subject[0] == 0          # homolog ranked first
+
+
+class TestBlastpEndToEnd:
+    @pytest.fixture(scope='class')
+    def corpus_db(self, tmp_path_factory):
+        corpus = make_corpus(n_taxa=2, n_families=8, seed=1,
+                             min_len=60, max_len=150)
+        return SeqDB.from_records(corpus.records), corpus
+
+    def test_all_vs_all(self, corpus_db):
+        db, corpus = corpus_db
+        cfg = SearchConfig(expect=1e-5, nc=1 << 18, query_batch=64)
+        rows = list(blastp_stream(db, db, cfg))
+        assert len(rows) > 0
+        # parse and sanity-check
+        self_hits = 0
+        fam_ok = fam_bad = 0
+        for row in rows:
+            f = row.rstrip('\n').split('\t')
+            assert len(f) == 16
+            qid, sid = f[0], f[1]
+            idy = float(f[2])
+            e = float(f[10])
+            assert e <= 1e-5
+            if qid == sid:
+                self_hits += 1
+                assert idy == pytest.approx(100.0)
+            else:
+                if corpus.family_of[qid] == corpus.family_of[sid]:
+                    fam_ok += 1
+                else:
+                    fam_bad += 1
+        n = len(db)
+        assert self_hits == n                     # every query finds itself
+        assert fam_ok > 0                         # orthologs found
+        assert fam_bad == 0                       # no cross-family hits at 1e-5
+
+    def test_hit_rows_well_formed(self, corpus_db):
+        db, _ = corpus_db
+        cfg = SearchConfig(expect=1e-5, nc=1 << 18, query_batch=64)
+        row = next(iter(blastp_stream(db, db, cfg)))
+        f = row.rstrip('\n').split('\t')
+        qid, sid = f[0], f[1]
+        aln, mis, gap = int(f[3]), int(f[4]), int(f[5])
+        qst, qed, sst, sed = map(int, f[6:10])
+        bit = float(f[11])
+        qlen, slen, qidx = int(f[12]), int(f[13]), int(f[14])
+        assert 1 <= qst <= qed <= qlen
+        assert 1 <= sst <= sed <= slen
+        assert aln >= qed - qst + 1 - 32
+        assert bit > 0
+        assert qidx == 0

@@ -1,0 +1,109 @@
+"""Orthology inference: classification, reciprocity, weights, quirks."""
+
+import numpy as np
+import pytest
+
+from swiftortho_tpu.config import OrthConfig, SearchConfig
+from swiftortho_tpu.corpus import make_corpus
+from swiftortho_tpu.io_fasta import SeqDB
+from swiftortho_tpu.orth.inference import (classify_qipo, find_orth_stream,
+                                           parse_sc_rows, _reciprocal)
+from swiftortho_tpu.search.blastp import blastp_stream
+
+
+def _sc(qid, sid, bit, idy=90.0, aln=100, qst=1, qed=100, qln=100, sln=100):
+    return ('%s\t%s\t%s\t%d\t5\t0\t%d\t%d\t1\t100\t1e-50\t%f\t%d\t%d\t0\t%s\n'
+            % (qid, sid, idy, aln, qst, qed, float(bit), qln, sln, sid))
+
+
+class TestParse:
+    def test_coverage_filter(self):
+        rows = [_sc('a|1', 'b|1', 100, qed=100, qln=100),
+                _sc('a|1', 'b|2', 100, qed=40, qln=100)]  # cov 0.40 < 0.5
+        groups = list(parse_sc_rows(rows, OrthConfig(coverage=0.5)))
+        assert len(groups) == 1
+        assert [g[1] for g in groups[0]] == ['b|1']
+
+    def test_identity_filter(self):
+        rows = [_sc('a|1', 'b|1', 100, idy=30.0)]
+        assert list(parse_sc_rows(rows, OrthConfig(identity=50))) == []
+
+    def test_dedup_keeps_max(self):
+        rows = [_sc('a|1', 'b|1', 80), _sc('a|1', 'b|1', 120)]
+        g = next(parse_sc_rows(rows, OrthConfig()))
+        assert len(g) == 1 and g[0][2] == 120.0
+
+    def test_bsr_uses_first_row(self):
+        rows = [_sc('a|1', 'a|1', 200), _sc('a|1', 'b|1', 100)]
+        g = next(parse_sc_rows(rows, OrthConfig(norm='bsr')))
+        assert g[0][2] == pytest.approx(1.0)
+        assert g[1][2] == pytest.approx(0.5)
+
+
+class TestClassify:
+    def test_ip_ot_co(self):
+        # a|1's hits: self, in-paralog a|2 (score above best inter-taxon),
+        # ortholog b|1 (best in taxon b), co-ortholog b|2
+        group = [('a|1', 'a|1', 300.0), ('a|1', 'a|2', 250.0),
+                 ('a|1', 'b|1', 200.0), ('a|1', 'b|2', 150.0)]
+        ips, ots, cos = classify_qipo(group)
+        assert ('a|1', 'a|2', 250.0) in ips and ('a|2', 'a|1', 250.0) in ips
+        assert ots == [('a|1', 'b|1', 200.0)]
+        assert cos == [('a|1', 'b|2', 150.0)]
+
+    def test_self_hit_never_ip(self):
+        ips, _, _ = classify_qipo([('a|1', 'a|1', 300.0)])
+        assert ips == []
+
+    def test_paralog_below_outmax_dropped(self):
+        group = [('a|1', 'a|2', 150.0), ('a|1', 'b|1', 200.0)]
+        ips, ots, _ = classify_qipo(group)
+        assert ips == []
+        assert len(ots) == 1
+
+
+class TestReciprocal:
+    def test_mean_mid_max_tail(self):
+        pairs = [('a|1', 'b|1', 100.0), ('a|1', 'b|1', 200.0),
+                 ('x|1', 'y|1', 10.0), ('x|1', 'y|1', 30.0)]
+        out = _reciprocal(pairs)
+        # (a,b) is mid-stream -> mean; (x,y) is the lex-last key -> max
+        assert out == [('a|1', 'b|1', 150.0), ('x|1', 'y|1', 30.0)]
+
+    def test_singletons_dropped(self):
+        assert _reciprocal([('a|1', 'b|1', 100.0)]) == []
+
+
+class TestEndToEnd:
+    @pytest.fixture(scope='class')
+    def orth_lines(self):
+        corpus = make_corpus(n_taxa=3, n_families=10, seed=5, dup_prob=0.3)
+        db = SeqDB.from_records(corpus.records)
+        cfg = SearchConfig(expect=1e-5, nc=1 << 18, query_batch=64)
+        sc = list(blastp_stream(db, db, cfg))
+        return list(find_orth_stream(sc, OrthConfig(0.5, 0))), corpus
+
+    def test_relations_present(self, orth_lines):
+        lines, corpus = orth_lines
+        rels = {l.split('\t')[0] for l in lines}
+        assert 'OT' in rels
+        # corpus has dup_prob=0.3 -> in-paralogs should exist
+        assert 'IP' in rels
+
+    def test_ot_pairs_same_family_cross_taxon(self, orth_lines):
+        lines, corpus = orth_lines
+        for l in lines:
+            rel, q, s, w = l.rstrip('\n').split('\t')
+            assert q < s or rel != 'OT'
+            if rel == 'OT':
+                assert corpus.family_of[q] == corpus.family_of[s]
+                assert q.split('|')[0] != s.split('|')[0]
+            if rel == 'IP':
+                assert q.split('|')[0] == s.split('|')[0]
+            assert float(w) > 0
+
+    def test_weights_normalized_around_one(self, orth_lines):
+        lines, _ = orth_lines
+        ws = [float(l.split('\t')[3]) for l in lines
+              if l.startswith('OT')]
+        assert 0.5 < np.mean(ws) < 1.5

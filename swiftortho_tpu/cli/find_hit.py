@@ -1,0 +1,57 @@
+"""All-vs-all search CLI (drop-in for reference bin/find_hit.py).
+
+Usage: python -m swiftortho_tpu.cli.find_hit -p blastp -i qry.fsa -d ref.fsa
+       -o out.sc [-e 1e-3] [-v 500] [-s 11111111] [-r aa9] ...
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..config import SearchConfig
+from ..search.blastp import blastp_to_file
+from ._args import parse_args
+
+DEFAULTS = {
+    '-p': 'blastp', '-v': '500', '-s': '11111111', '-i': '', '-d': '',
+    '-e': '1e-3', '-l': '-1', '-u': '-1', '-m': '1e-3', '-t': '-1',
+    '-r': 'aa9', '-j': '1', '-F': 'T', '-o': '', '-D': '', '-O': 'wb',
+    '-L': '-1', '-U': '-1', '-M': '120000000', '-c': '50000', '-a': '1',
+    '-T': '',
+}
+
+
+def manual_print():
+    print('Usage:')
+    print('  python -m swiftortho_tpu.cli.find_hit -p blastp '
+          '-i qry.fsa -d db.fsa -o out.sc')
+    print('Parameters (reference-compatible):')
+    print('  -i query fasta   -d reference fasta   -o output .sc file')
+    print('  -e expect value  -v max hits/query    -s spaced seed(s)')
+    print('  -r alphabet: aa9 | aa20 | custom comma groups')
+    print('  -m max miss ratio  -t kmer count threshold  -j seed stride')
+    print('  -F T|F filter query  -M hash buckets  -c ref chunk size')
+
+
+def main(argv=None):
+    args = parse_args(argv or sys.argv, DEFAULTS)
+    if args['-p'] != 'blastp' or not args['-i'] or not args['-d']:
+        manual_print()
+        return 1
+    cfg = SearchConfig(
+        expect=float(args['-e']), v=int(args['-v']),
+        max_miss=max(float(args['-m']), 1e-3),
+        seeds=args['-s'], alphabet=args['-r'], step=int(args['-j']),
+        filter_query=args['-F'].upper() == 'T',
+        threshold=int(args['-t']), nc=int(args['-M']),
+        chunk=int(args['-c']))
+    out = args['-o']
+    if out:
+        blastp_to_file(args['-i'], args['-d'], out, cfg)
+    else:
+        blastp_to_file(args['-i'], args['-d'], sys.stdout, cfg)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

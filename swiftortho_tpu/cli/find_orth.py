@@ -1,0 +1,34 @@
+"""Orthology inference CLI (drop-in for reference bin/find_orth.py).
+
+Usage: python -m swiftortho_tpu.cli.find_orth -i out.sc [-c .5] [-y 0]
+       [-n no|bsr|bal] > out.orth
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..config import OrthConfig
+from ..orth.inference import find_orth_stream
+from ._args import parse_args
+
+DEFAULTS = {'-i': '', '-c': '0.5', '-y': '0', '-n': 'no',
+            '-t': 'n', '-a': '4', '-T': './tmp/', '-s': '|'}
+
+
+def main(argv=None):
+    args = parse_args(argv or sys.argv, DEFAULTS)
+    if not args['-i']:
+        print('Usage: python -m swiftortho_tpu.cli.find_orth -i foo.sc '
+              '[-c .5] [-y 0] [-n no|bsr|bal] [-s |]')
+        return 1
+    cfg = OrthConfig(coverage=float(args['-c']), identity=float(args['-y']),
+                     norm=args['-n'], sep=args['-s'])
+    with open(args['-i']) as fh:
+        for line in find_orth_stream(fh, cfg):
+            sys.stdout.write(line)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

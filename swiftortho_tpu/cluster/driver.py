@@ -1,0 +1,94 @@
+"""Clustering driver: parse the ortholog graph, decompose, cluster, print.
+
+Behavioral contract: reference bin/find_cluster.py entry (:1764-1793) with
+fc2mat parsing (:767-858): 3-col xyz or 4-col (REL x y w) input; rows with
+x > y skipped (the graph is already two-directional upstream); duplicate
+(x, y) rows: last weight wins (reference lil_matrix assignment).
+
+Deviation (documented): the reference's out-of-core ``cnc`` drops every
+edge whose final component id is 0 (`if cx and cy` treats id 0 as falsy,
+find_cluster.py:1612), silently losing one whole component per run.  We
+cluster all components.
+"""
+
+from __future__ import annotations
+
+from typing import IO, Iterable, Iterator, List, Tuple
+
+import numpy as np
+
+from ..config import ClusterConfig
+from .apc import apc_cluster
+from .mcl import mcl_cluster
+
+
+def parse_graph(lines: Iterable[str], sep: str = '|'):
+    """Returns (n2l names, ei, ej, w, n_taxa)."""
+    l2n = {}
+    names: List[str] = []
+    ei: List[int] = []
+    ej: List[int] = []
+    wt: List[float] = []
+    last: dict = {}
+    for line in lines:
+        f = line.rstrip('\n').split('\t')
+        if len(f) == 4:
+            x, y, z = f[1], f[2], f[3]
+        elif len(f) >= 3:
+            x, y, z = f[0], f[1], f[2]
+        else:
+            continue
+        if x > y:
+            continue
+        try:
+            zf = float(z)
+        except ValueError:
+            z2 = z.split('rm')[0]           # reference's salvage (:800-804)
+            try:
+                zf = float(z2)
+            except ValueError:
+                continue
+        for t in (x, y):
+            if t not in l2n:
+                l2n[t] = len(names)
+                names.append(t)
+        last[(l2n[x], l2n[y])] = zf
+    for (a, b), z in last.items():
+        ei.append(a)
+        ej.append(b)
+        wt.append(z)
+    taxa = {t.split(sep)[0] for t in names}
+    return (names, np.asarray(ei, np.int64), np.asarray(ej, np.int64),
+            np.asarray(wt, np.float64), len(taxa))
+
+
+def find_cluster_stream(lines: Iterable[str],
+                        cfg: ClusterConfig | None = None) -> Iterator[str]:
+    cfg = cfg or ClusterConfig()
+    names, ei, ej, w, n_taxa = parse_graph(lines)
+    n = len(names)
+    if n == 0:
+        return
+    if cfg.algorithm == 'mcl':
+        clusters = mcl_cluster(n, ei, ej, w, inflation=cfg.inflation,
+                               prune=cfg.prune, max_dense=cfg.max_dense)
+    elif cfg.algorithm in ('apc', 'sap'):
+        clusters = apc_cluster(n, ei, ej, w, n_taxa, damp=cfg.damping)
+    else:
+        raise ValueError('unknown algorithm %r' % cfg.algorithm)
+    for cl in clusters:
+        yield '\t'.join(names[i] for i in cl) + '\n'
+
+
+def find_cluster_file(path: str, out, cfg: ClusterConfig | None = None):
+    close = False
+    if isinstance(out, str):
+        out = open(out, 'w')
+        close = True
+    try:
+        with open(path) as fh:
+            for line in find_cluster_stream(fh, cfg):
+                out.write(line)
+    finally:
+        if close:
+            out.close()

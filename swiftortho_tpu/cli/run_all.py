@@ -1,0 +1,119 @@
+"""Full pipeline CLI (drop-in for reference scripts/run_all.py).
+
+search -> orthology -> clustering -> pan-genome -> RBH species tree
+[-> operon clustering], all in-process (the reference shells out per
+stage, scripts/run_all.py:104-243).  External trimal/fasttree/MSA tools
+are replaced by the framework's own trim/NJ/center-star implementations.
+
+Usage: python -m swiftortho_tpu.cli.run_all -i merged.fsa [-p operons] ...
+Outputs in <input>_results/: .sc .opc .clsr .pan .aln.trim .nwk
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from time import time
+
+from ..config import ClusterConfig, OrthConfig, SearchConfig
+from ..io_fasta import SeqDB, iter_fasta
+from ..analysis.msa import trim_alignment
+from ..analysis.operon import gene_fam_idx, operon_cluster_edges
+from ..analysis.pan_genome import pan_report
+from ..analysis.phylo import tree_from_alignment
+from ..analysis.rbh import rbh2phy
+from ..cluster.driver import find_cluster_stream
+from ..orth.inference import find_orth_stream
+from ..search.blastp import blastp_to_file
+from ._args import parse_args
+
+DEFAULTS = {'-i': '', '-r': '', '-p': '', '-s': '1111111', '-c': '.5',
+            '-y': '50', '-n': 'no', '-l': '.05', '-u': '.95', '-a': '1',
+            '-A': 'apc', '-I': '1.5', '-v': '1000', '-M': '120000000'}
+
+
+def main(argv=None):
+    args = parse_args(argv or sys.argv, DEFAULTS)
+    if not args['-i']:
+        print('Usage: python -m swiftortho_tpu.cli.run_all -i foo.pep.fsa '
+              '[-r taxon] [-p foo.operon] [-s seed] [-c cov] [-y idy] '
+              '[-n norm] [-l spec-thr] [-u core-thr] [-A mcl|apc] [-I infl] '
+              '[-v hits]')
+        return 1
+    fas = args['-i']
+    sfx = fas.split(os.sep)[-1]
+    res = '%s_results' % fas
+    os.makedirs(res, exist_ok=True)
+
+    # 1. all-vs-all search (reference: -e 1e-5 -m 5e-2, run_all.py:104)
+    t0 = time()
+    sc_path = '%s/%s.sc' % (res, sfx)
+    scfg = SearchConfig(expect=1e-5, v=int(args['-v']), max_miss=5e-2,
+                        seeds=args['-s'], nc=int(args['-M']))
+    blastp_to_file(fas, fas, sc_path, scfg)
+    print('all to all homologous searching time:', time() - t0)
+
+    # 2. orthology inference
+    t0 = time()
+    opc_path = '%s/%s.opc' % (res, sfx)
+    ocfg = OrthConfig(coverage=float(args['-c']), identity=float(args['-y']),
+                      norm=args['-n'])
+    with open(sc_path) as fh, open(opc_path, 'w') as out:
+        for line in find_orth_stream(fh, ocfg):
+            out.write(line)
+    print('orthomcl algorithm time:', time() - t0)
+
+    # 3. clustering
+    t0 = time()
+    clsr_path = '%s/%s.clsr' % (res, sfx)
+    ccfg = ClusterConfig(algorithm=args['-A'].lower(),
+                         inflation=float(args['-I']))
+    with open(opc_path) as fh, open(clsr_path, 'w') as out:
+        for line in find_cluster_stream(fh, ccfg):
+            out.write(line)
+    print('use %s to group protein family time:' % args['-A'], time() - t0)
+
+    # 4. pan-genome statistics
+    t0 = time()
+    db = SeqDB.from_path(fas)
+    pan_path = '%s/%s.pan' % (res, sfx)
+    with open(clsr_path) as fh, open(pan_path, 'w') as out:
+        pan_report(db, fh, out, ts=float(args['-l']), tc=float(args['-u']))
+    print('pan-genome analysis time:', time() - t0)
+
+    # 5. RBH species tree (own MSA + trim + NJ)
+    t0 = time()
+    with open(sc_path) as fh:
+        recs = rbh2phy(fh, db, ref_taxon=args['-r'])
+    aln_path = '%s/%s.aln.trim' % (res, sfx)
+    nwk_path = '%s/%s.nwk' % (res, sfx)
+    if recs:
+        names = [t for t, _ in recs]
+        rows = trim_alignment([s for _, s in recs])
+        with open(aln_path, 'w') as out:
+            for t_, s_ in zip(names, rows):
+                out.write('>%s\n%s\n' % (t_, s_))
+        with open(nwk_path, 'w') as out:
+            out.write(tree_from_alignment(names, rows) + '\n')
+    print('species tree construction time:', time() - t0)
+
+    # 6. operon clustering (optional)
+    if args['-p'] and os.path.isfile(args['-p']):
+        t0 = time()
+        sfxo = args['-p'].split(os.sep)[-1]
+        with open(clsr_path) as fh:
+            groups = gene_fam_idx(fh)
+        xyz_path = '%s/%s.xyz' % (res, sfxo)
+        with open(args['-p']) as fh, open(xyz_path, 'w') as out:
+            for line in operon_cluster_edges(fh, groups):
+                out.write(line)
+        with open(xyz_path) as fh, open('%s/%s.clsr' % (res, sfxo),
+                                        'w') as out:
+            for line in find_cluster_stream(fh, ccfg):
+                out.write(line)
+        print('operon clustering time:', time() - t0)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

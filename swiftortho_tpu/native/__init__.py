@@ -1,0 +1,80 @@
+"""Native (C++) host kernels, loaded via ctypes.
+
+Builds on demand with g++ -O3 -march=native (the reference compiles its
+RPython kernel on first run the same way, bin/find_hit.py:198-209).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..constants import B62_BYTES, GAP_EXTEND, GAP_OPEN, KBOUND
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, 'libswnative.so')
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> str:
+    src = os.path.join(_HERE, 'banded_sw.cpp')
+    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+           '-o', _SO, src]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO)
+                < os.path.getmtime(os.path.join(_HERE, 'banded_sw.cpp'))):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.sw_align_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.sw_align_batch.restype = None
+        _lib = lib
+        return _lib
+
+
+_SUB = np.ascontiguousarray(B62_BYTES.astype(np.int8))
+
+
+def sw_align_batch_native(tok0: np.ndarray, tok1: np.ndarray,
+                          len0: np.ndarray, len1: np.ndarray,
+                          kbound: int = KBOUND, go: int = GAP_OPEN,
+                          ge: int = GAP_EXTEND) -> dict:
+    """Same contract as ops.banded_sw.sw_align_batch, on the host CPU."""
+    lib = load()
+    tok0 = np.ascontiguousarray(tok0, np.uint8)
+    tok1 = np.ascontiguousarray(tok1, np.uint8)
+    len0 = np.ascontiguousarray(len0, np.int32)
+    len1 = np.ascontiguousarray(len1, np.int32)
+    B, pad0 = tok0.shape
+    _, pad1 = tok1.shape
+    out = np.zeros((B, 9), np.int32)
+    lib.sw_align_batch(
+        tok0.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tok1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        B, pad0, pad1,
+        _SUB.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        kbound, go, ge,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    keys = ('score', 'bi', 'bj', 'sti', 'stj', 'idy', 'aln', 'mis', 'gap')
+    return {k: out[:, i].astype(np.int64) for i, k in enumerate(keys)}

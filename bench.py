@@ -27,9 +27,12 @@ CELLS = B * L * BAND
 
 
 def _tpu_worker():
+    import time
+
     import numpy as np
     import jax
-    from swiftortho_tpu.ops.banded_sw import sw_align_batch
+    import jax.numpy as jnp
+    from swiftortho_tpu.ops.banded_sw_pallas import sw_align_batch_pallas
 
     rng = np.random.default_rng(0)
     AA = np.frombuffer(b'ACDEFGHIKLMNPQRSTVWY', np.uint8)
@@ -37,16 +40,32 @@ def _tpu_worker():
     t1 = AA[rng.integers(0, 20, (B, L + 12))]
     l0 = np.full(B, L, np.int32)
     l1 = np.full(B, L, np.int32)
-    r = sw_align_batch(t0, t1, l0, l1)
-    jax.block_until_ready(r)                      # warm/compile
-    import time
-    iters = 30
-    tt = time.time()
-    for _ in range(iters):
-        r = sw_align_batch(t0, t1, l0, l1)
-    chk = int(np.asarray(r['score']).sum())       # force host fetch
-    dt = (time.time() - tt) / iters
-    print(json.dumps({'cells_per_s': CELLS / dt, 'chk': chk}), flush=True)
+
+    ITERS = 200
+
+    @jax.jit
+    def run(seed, t0, t1, l0, l1):
+        # dispatch through the tunnel costs ~20 ms, so iterate inside one
+        # jit call; vary the input per iteration (and per trial via seed)
+        # so nothing can be hoisted or reused
+        def body(i, acc):
+            t0x = jnp.bitwise_xor(t0, ((i + seed) & 1).astype(jnp.uint8))
+            r = sw_align_batch_pallas.__wrapped__(t0x, t1, l0, l1)
+            return acc + r['score'][(i + seed) % B]
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+    # NOTE: block_until_ready does NOT force completion through the axon
+    # tunnel; only a host fetch does, and the first fetch absorbs a ~40-90s
+    # lazy warm cost.  Warm with a real fetch, then time fresh work.
+    chk = int(np.asarray(run(0, t0, t1, l0, l1)))
+    best = 0.0
+    for trial in (1, 2):
+        tt = time.time()
+        r = int(np.asarray(run(trial, t0, t1, l0, l1)))
+        dt = (time.time() - tt) / ITERS
+        best = max(best, CELLS / dt)
+    print(json.dumps({'cells_per_s': best, 'chk': chk}), flush=True)
     os._exit(0)
 
 

@@ -353,6 +353,29 @@ def sw_align_batch(tok0: jnp.ndarray, tok1: jnp.ndarray,
     return best
 
 
+def sw_align_auto(tok0, tok1, len0, len1):
+    """Dispatch to the Pallas TPU kernel when running on TPU (padding the
+    pair axis to a multiple of 128), else the portable lax.scan version."""
+    import jax as _jax
+
+    B = tok0.shape[0]
+    platform = _jax.default_backend()
+    if platform in ('tpu', 'axon'):
+        from .banded_sw_pallas import sw_align_batch_pallas
+
+        pad = (-B) % 128
+        if pad:
+            tok0 = np.pad(tok0, ((0, pad), (0, 0)))
+            tok1 = np.pad(tok1, ((0, pad), (0, 0)))
+            len0 = np.pad(len0, (0, pad))
+            len1 = np.pad(len1, (0, pad))
+        out = sw_align_batch_pallas(tok0, tok1, len0, len1)
+        if pad:
+            out = {k: v[:B] for k, v in out.items()}
+        return out
+    return sw_align_batch(tok0, tok1, len0, len1)
+
+
 def postprocess_batch(best: dict, qst: np.ndarray, sst: np.ndarray,
                       swapped: np.ndarray) -> dict:
     """Map kernel outputs back to reference coordinates (numpy, host).

@@ -1,0 +1,320 @@
+"""Banded Smith-Waterman Pallas TPU kernel.
+
+Same behavioral contract as ops/banded_sw.sw_align_batch (see that module's
+docstring; reference kswat_st, lib/fsearch.py:1357-1476) — parity-split
+anti-diagonal wavefront with augmented per-cell path statistics.
+
+TPU-native design notes (all constraints measured on the target chip):
+- NO dynamic indexing anywhere in the kernel: dispatch latency is ~20 ms,
+  `jnp.take` runs at 0.01 G/s, dynamic sublane slices must be 8-aligned,
+  and dynamic leading-dim indexing lowers catastrophically.  The
+  anti-diagonal step axis t is therefore the *grid* axis; each grid step
+  receives aligned (BLK_T, ...) blocks (each input passed four times with
+  neighboring index maps to emulate halos) and the BLK_T t-steps inside
+  are a static python unroll, so every window is a compile-time slice.
+- The row-side sequence is passed pre-reversed with *descending* block
+  index maps, so both window sides are e-ascending and the unsupported
+  `rev` op is never needed.
+- Substitutions come from a per-batch profile P0[l, c, b] = T[c, code0[l]]
+  (built outside by a fused-select pass) combined in-kernel with a static
+  32-channel select over the row codes; byte equality for the identity
+  stat uses raw bytes packed into the same words (packed = raw*32+code).
+- Path statistics are packed two-per-int32 (idy|aln, mis|gap, sti|stj);
+  fields are bounded by 4100+4100 < 2**14 per side.
+
+Window geometry (kbound=16, slot e of parity p at step t):
+  i = t + 9 - e,  j = t + e - 8 + p           (1-based matrix cells)
+  column side: arr0[q] = seq0[q - 16]  ->  q = (j-1)+16 = t+e+7+p,
+     concat4 row (blocks g..g+3, base row 8g) = lt+e+7+p in [7, 31]
+  row side:    arr1[q] = seq1[K - q]   ->  q = K-(i-1) = K-t-8+e... with
+     blocks {kb-2-g .. kb+1-g} (base row K-t0-16):
+     concat4 row = 8-lt+e in [1, 24] subset of [0, 32)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import B62_CODES, BLOSUM62_ALPHA, GAP_EXTEND, GAP_OPEN
+
+_STAR, _DIAG, _DASH, _PIPE = 0, 1, 2, 3
+BLK_T = 8
+NS = 17          # slot rows (d = -17+2e+p)
+PACK = 1 << 14   # stats packing base
+
+
+def _shift_down(x):
+    return jnp.concatenate([jnp.zeros((1,) + x.shape[1:], x.dtype),
+                            x[:-1]], axis=0)
+
+
+def _shift_up(x):
+    return jnp.concatenate([x[1:],
+                            jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+
+
+def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
+            h1, top1, ia1, mg1, st1,
+            h2, top2, ia2, mg2, st2,
+            besth, besti, bestj, bestia, bestmg, bestst,
+            *, go: int, ge: int):
+    g = pl.program_id(0)
+    t0 = g * BLK_T
+
+    @pl.when(g == 0)
+    def _init():
+        for r in (h1, top1, ia1, mg1, st1, h2, top2, ia2, mg2, st2,
+                  besth, besti, bestj, bestia, bestmg, bestst):
+            r[...] = jnp.zeros_like(r)
+
+    c0blk = jnp.concatenate([r[...] for r in c0_refs], 0)   # (32, B)
+    c1blk = jnp.concatenate([r[...] for r in c1_refs], 0)   # (32, B)
+    p0blk = jnp.concatenate([r[...] for r in p0_refs], 0)   # (32, 32, B)
+
+    B = c0blk.shape[1]
+    e_col = jax.lax.broadcasted_iota(jnp.int32, (NS, B), 0)
+    l0v = l0_ref[...]
+    l1v = l1_ref[...]
+
+    st_m1 = (h1[...], top1[...], ia1[...], mg1[...], st1[...])
+    st_m2 = (h2[...], top2[...], ia2[...], mg2[...], st2[...])
+    best = (besth[...], besti[...], bestj[...],
+            bestia[...], bestmg[...], bestst[...])
+
+    def substep(p, lt, st_m1, st_m2, best):
+        t = t0 + lt
+        a0 = lt + 7 + p
+        c0w = jax.lax.slice_in_dim(c0blk, a0, a0 + NS, axis=0)
+        p0w = jax.lax.slice_in_dim(p0blk, a0, a0 + NS, axis=0)
+        a1 = 8 - lt
+        c1w = jax.lax.slice_in_dim(c1blk, a1, a1 + NS, axis=0)
+
+        c1code = jnp.bitwise_and(c1w, 31)
+        r1 = jnp.right_shift(c1w, 5)
+        r0 = jnp.right_shift(c0w, 5)
+        sub = jnp.full((NS, B), -4, jnp.int32)
+        for c in range(32):
+            sub = jnp.where(c1code == c, p0w[:, c, :], sub)
+        eqi = ((r1 == r0) & (r1 > 0)).astype(jnp.int32)
+
+        iv = t + 9 - e_col
+        jv = t + e_col - 8 + p
+        computed = (iv >= 1) & (jv >= 1) & (iv <= l1v) & (jv <= l0v)
+        if p == 0:
+            computed = computed & (e_col >= 1)
+        else:
+            computed = computed & (e_col <= 15)
+
+        H1, TOP1, IA1, MG1, ST1 = st_m1
+        if p == 0:
+            Hl, TOPl, IAl, MGl, STl = map(_shift_down,
+                                          (H1, TOP1, IA1, MG1, ST1))
+            Hu, TOPu, IAu, MGu, STu = H1, TOP1, IA1, MG1, ST1
+        else:
+            Hl, TOPl, IAl, MGl, STl = H1, TOP1, IA1, MG1, ST1
+            Hu, TOPu, IAu, MGu, STu = map(_shift_up,
+                                          (H1, TOP1, IA1, MG1, ST1))
+        Hd, IAd, MGd, STd = st_m2[0], st_m2[2], st_m2[3], st_m2[4]
+
+        trl = jnp.right_shift(TOPl, 2)
+        tru = jnp.right_shift(TOPu, 2)
+        opl = jnp.bitwise_and(TOPl, 3)       # op+1: 0:-1, 1:0, 2:1
+        opu = jnp.bitwise_and(TOPu, 3)
+
+        I = Hl + jnp.where(trl == _DASH, ge, go)
+        M = Hd + sub
+        D = Hu + jnp.where(tru == _PIPE, ge, go)
+        Bv = jnp.maximum(jnp.maximum(0, I), jnp.maximum(M, D))
+        is_m = Bv == M
+        is_i = (~is_m) & (Bv == I)
+        is_d = (~is_m) & (~is_i) & (Bv == D)
+        is_star = (~is_m) & (~is_i) & (~is_d)
+
+        gap_i = jnp.where(opl != 2, 1, 0)
+        gap_d = jnp.where(opu != 1, 1, 0)
+
+        tr_new = jnp.where(is_m, _DIAG,
+                           jnp.where(is_i, _DASH,
+                                     jnp.where(is_d, _PIPE, _STAR)))
+        op_new = jnp.where(is_i & (opl != 2), 2,
+                           jnp.where(is_d & (opu != 1), 1, 0))
+        TOPn = jnp.left_shift(tr_new, 2) + op_new
+        IAn = jnp.where(is_m, IAd + eqi * PACK + 1,
+                        jnp.where(is_i, IAl + 1,
+                                  jnp.where(is_d, IAu + 1, 0)))
+        MGn = jnp.where(is_m, MGd + (1 - eqi) * PACK,
+                        jnp.where(is_i, MGl + PACK + gap_i,
+                                  jnp.where(is_d, MGu + PACK + gap_d, 0)))
+        STn = jnp.where(is_star, iv * PACK + jv,
+                        jnp.where(is_m, STd,
+                                  jnp.where(is_i, STl, STu)))
+
+        inmat = (iv >= 0) & (jv >= 0) & (iv <= l1v) & (jv <= l0v)
+        is_row0 = inmat & (iv == 0)
+        is_col0 = inmat & (jv == 0) & (iv > 0)
+        bd_aln = jnp.where(is_row0, jv, jnp.where(is_col0, iv, 0))
+        bd_odd = jnp.bitwise_and(bd_aln, 1) == 1
+        bd_op = jnp.where(is_row0 & (jv > 0) & bd_odd, 2,
+                          jnp.where(is_col0 & bd_odd, 1, 0))
+        bd_MG = bd_aln * PACK + (bd_aln + 1) // 2
+
+        Hn = jnp.where(computed, Bv, 0)
+        TOPn = jnp.where(computed, TOPn, bd_op)
+        IAn = jnp.where(computed, IAn,
+                        jnp.where(is_row0 | is_col0, bd_aln, 0))
+        MGn = jnp.where(computed, MGn,
+                        jnp.where(is_row0 | is_col0, bd_MG, 0))
+        STn = jnp.where(computed, STn, 0)
+
+        # running best: strictly greater, ties to smallest (i, j).
+        # keys are unique among computed slots (distinct i per slot).
+        NEG = jnp.int32(-2 ** 30)
+        key = jnp.where(computed, Bv * 8192 - iv, NEG)
+        mkey = jnp.max(key, axis=0, keepdims=True)
+        sel = (key == mkey) & computed
+
+        def pick(x):
+            return jnp.sum(jnp.where(sel, x, 0), axis=0, keepdims=True)
+
+        Hc, ic, jc = pick(Bv), pick(iv), pick(jv)
+        bH, bi, bj, bIA, bMG, bST = best
+        any_c = mkey > NEG
+        better = any_c & ((Hc > bH) | ((Hc == bH) & (Hc > 0) &
+                                       ((ic < bi) | ((ic == bi)
+                                                     & (jc < bj)))))
+        nbest = (jnp.where(better, Hc, bH),
+                 jnp.where(better, ic, bi),
+                 jnp.where(better, jc, bj),
+                 jnp.where(better, pick(IAn), bIA),
+                 jnp.where(better, pick(MGn), bMG),
+                 jnp.where(better, pick(STn), bST))
+        return (Hn, TOPn, IAn, MGn, STn), nbest
+
+    for lt in range(BLK_T):
+        st_odd, best = substep(0, lt, st_m1, st_m2, best)
+        st_even, best = substep(1, lt, st_odd, st_m1, best)
+        st_m2 = st_odd
+        st_m1 = st_even
+
+    for r, v in zip((h1, top1, ia1, mg1, st1), st_m1):
+        r[...] = v
+    for r, v in zip((h2, top2, ia2, mg2, st2), st_m2):
+        r[...] = v
+    for r, v in zip((besth, besti, bestj, bestia, bestmg, bestst), best):
+        r[...] = v
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _fin():
+        for row, v in enumerate(best):
+            out_ref[row:row + 1, :] = v
+        out_ref[6:8, :] = jnp.zeros((2, best[0].shape[1]), jnp.int32)
+
+
+def _build_profile(code0: jnp.ndarray) -> jnp.ndarray:
+    """P0[l, c, b] = B62_CODES[c, code0[l, b]] via fused selects."""
+    planes = []
+    for c in range(32):
+        acc = jnp.full(code0.shape, -4, jnp.int32)
+        for d in range(32):
+            v = int(B62_CODES[c, d])
+            if v != -4:
+                acc = jnp.where(code0 == d, v, acc)
+        planes.append(acc)
+    return jnp.stack(planes, axis=1)      # (Lp, 32, B)
+
+
+def _encode(tok):
+    """uint8 tokens -> packed raw*32 + blosum-code words."""
+    t = tok.astype(jnp.int32)
+    up = jnp.where((t >= 97) & (t <= 122), t - 32, t)
+    code = jnp.full(t.shape, 23, jnp.int32)
+    for i, ch in enumerate(BLOSUM62_ALPHA):
+        code = jnp.where(up == ord(ch), i, code)
+    return t * 32 + code
+
+
+@functools.partial(jax.jit, static_argnames=('go', 'ge', 'interpret'))
+def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
+                          len0: jnp.ndarray, len1: jnp.ndarray,
+                          go: int = GAP_OPEN, ge: int = GAP_EXTEND,
+                          interpret: bool = False) -> dict:
+    """Drop-in for sw_align_batch (kbound fixed at 16). tok* are (B, L)
+    uint8 padded batches; returns the same (B,) int32 result arrays."""
+    B, L0 = tok0.shape
+    _, L1 = tok1.shape
+    assert B % 128 == 0, 'pair count must be a multiple of 128'
+
+    nT = (L0 + L1) // 2 + 10
+    G = -(-nT // BLK_T)
+    # K must keep the reversed-array placement start (K - L1 + 1) >= 0 AND
+    # the descending block maps (kb - 2 - g) >= 0 for all grid steps.
+    K = max((G + 3) * BLK_T, -(-(L1 + 8) // BLK_T) * BLK_T)
+    kb = K // BLK_T
+
+    pk0 = _encode(tok0).T                # (L0, B)
+    pk1 = _encode(tok1).T                # (L1, B)
+
+    len_arr0 = (G + 4) * BLK_T + 48
+    arr0 = jnp.zeros((len_arr0, B), jnp.int32)
+    arr0 = jax.lax.dynamic_update_slice(arr0, pk0, (16, 0))
+
+    len_arr1 = K + 48
+    arr1 = jnp.zeros((len_arr1, B), jnp.int32)
+    # arr1[q] = pk1[K - q]  =>  arr1[K-L1 .. K-1] = flip(pk1)... q such
+    # that K - q in [0, L1) => q in (K-L1, K]; row q = K - l1pos.
+    arr1 = jax.lax.dynamic_update_slice(arr1, jnp.flip(pk1, axis=0),
+                                        (K - L1 + 1, 0))
+
+    code0_arr = jnp.bitwise_and(arr0, 31)
+    P0 = _build_profile(code0_arr)
+
+    l0v = len0.astype(jnp.int32).reshape(1, B)
+    l1v = len1.astype(jnp.int32).reshape(1, B)
+
+    c0_specs = [pl.BlockSpec((BLK_T, B), (lambda s: (lambda g: (g + s, 0)))(s),
+                             memory_space=pltpu.VMEM) for s in range(4)]
+    c1_specs = [pl.BlockSpec((BLK_T, B),
+                             (lambda s: (lambda g: (kb - 2 - g + s, 0)))(s),
+                             memory_space=pltpu.VMEM) for s in range(4)]
+    p0_specs = [pl.BlockSpec((BLK_T, 32, B),
+                             (lambda s: (lambda g: (g + s, 0, 0)))(s),
+                             memory_space=pltpu.VMEM) for s in range(4)]
+
+    def kern(*refs):
+        c0r = refs[0:4]
+        c1r = refs[4:8]
+        p0r = refs[8:12]
+        l0r, l1r, out = refs[12], refs[13], refs[14]
+        scratch = refs[15:]
+        _kernel(c0r, c1r, p0r, l0r, l1r, out, *scratch, go=go, ge=ge)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=c0_specs + c1_specs + p0_specs + [
+            pl.BlockSpec((1, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, B), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((NS, B), jnp.int32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.int32) for _ in range(6)],
+        interpret=interpret,
+    )(arr0, arr0, arr0, arr0, arr1, arr1, arr1, arr1,
+      P0, P0, P0, P0, l0v, l1v)
+
+    ia, mg, st = out[3], out[4], out[5]
+    return {
+        'score': out[0], 'bi': out[1], 'bj': out[2],
+        'sti': st // PACK, 'stj': st % PACK,
+        'idy': ia // PACK, 'aln': ia % PACK,
+        'mis': mg // PACK, 'gap': mg % PACK,
+    }

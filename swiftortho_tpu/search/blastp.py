@@ -32,7 +32,7 @@ import numpy as np
 from ..config import SearchConfig
 from ..constants import LONG_SEQ_TILE
 from ..io_fasta import SeqDB
-from ..ops.banded_sw import postprocess_batch, sw_align_batch
+from ..ops.banded_sw import postprocess_batch, sw_align_auto
 from ..ops.index import build_index
 from ..ops.seg import seg_batch
 from ..ops.stats import f2s
@@ -108,7 +108,7 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
             t1[r, :min(len(w_tok), bucket)] = w_tok[:bucket]
             l0[r] = min(len(c_tok), bucket)
             l1[r] = min(len(w_tok), bucket)
-        best = sw_align_batch(t0, t1, l0, l1)
+        best = sw_align_auto(t0, t1, l0, l1)
         res = postprocess_batch(best, band_q[sel], band_s[sel], swapped[sel])
         for k in ('aln', 'mis', 'gap', 'qst', 'qed', 'sst', 'sed',
                   'score', 'bit'):

@@ -29,7 +29,8 @@ from ._args import parse_args
 
 DEFAULTS = {'-i': '', '-r': '', '-p': '', '-s': '1111111', '-c': '.5',
             '-y': '50', '-n': 'no', '-l': '.05', '-u': '.95', '-a': '1',
-            '-A': 'apc', '-I': '1.5', '-v': '1000', '-M': '120000000'}
+            '-A': 'apc', '-I': '1.5', '-v': '1000', '-M': '120000000',
+            '-z': ''}   # -z fast = run_all_fast nr-dedup variant
 
 
 def main(argv=None):
@@ -50,7 +51,21 @@ def main(argv=None):
     sc_path = '%s/%s.sc' % (res, sfx)
     scfg = SearchConfig(expect=1e-5, v=int(args['-v']), max_miss=5e-2,
                         seeds=args['-s'], nc=int(args['-M']))
-    blastp_to_file(fas, fas, sc_path, scfg)
+    if args.get('-z') == 'fast':
+        # run_all_fast variant (scripts/run_all_fast.py): collapse exact
+        # duplicates, search the nr set, re-expand the hit table
+        from ..analysis.misc import nr_collapse, nr_expand
+        from ..io_fasta import iter_fasta, write_fasta
+        nr_path = '%s/%s.nr.fsa' % (res, sfx)
+        with open(fas) as fh:
+            write_fasta(nr_path, list(nr_collapse(iter_fasta(fh))))
+        nr_sc = '%s/%s.nr.sc' % (res, sfx)
+        blastp_to_file(nr_path, nr_path, nr_sc, scfg)
+        with open(nr_sc) as fh, open(sc_path, 'w') as out:
+            for line in nr_expand(fh):
+                out.write(line)
+    else:
+        blastp_to_file(fas, fas, sc_path, scfg)
     print('all to all homologous searching time:', time() - t0)
 
     # 2. orthology inference

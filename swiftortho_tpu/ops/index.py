@@ -60,6 +60,23 @@ class SeedIndex:
         return idx + self.seq_offset, loc - self.soas[idx]
 
 
+def save_index(path: str, ix: 'SeedIndex'):
+    """Persist a chunk index (the reference's .idx/.soas/.bin checkpoint
+    with its params footer, lib/fsearch.py:2298-2349, as one npz)."""
+    np.savez_compressed(
+        path, start=ix.start, locus=ix.locus, soas=ix.soas,
+        params=np.array([ix.nc, ix.seq_offset, ix.threshold, ix.mink],
+                        dtype=np.int64))
+
+
+def load_index(path: str) -> 'SeedIndex':
+    z = np.load(path)
+    nc, seq_offset, threshold, mink = (int(x) for x in z['params'])
+    return SeedIndex(nc=nc, start=z['start'], locus=z['locus'],
+                     soas=z['soas'], seq_offset=seq_offset,
+                     threshold=threshold, mink=mink)
+
+
 def build_index(db: SeqDB, start: int, end: int, alphabets: List[str],
                 ssps: str, nc: int, step: int = 1,
                 threshold_override: int = -1) -> SeedIndex:

@@ -1,0 +1,144 @@
+"""GO profiles, orth2phy, fsfdp, index persistence, script CLIs."""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from swiftortho_tpu.analysis.goterm import (GoDag, goterm_profile,
+                                            pan_type_map)
+from swiftortho_tpu.analysis.orth2phy import orth2phy, orth_families
+from swiftortho_tpu.cluster.fsfdp import fsfdp_cluster, fsfdp_groups
+from swiftortho_tpu.io_fasta import SeqDB
+from swiftortho_tpu.ops.index import build_index, load_index, save_index
+from swiftortho_tpu.constants import AA9
+
+_OBO = """format-version: 1.2
+
+[Term]
+id: GO:0000001
+name: root_bio
+namespace: biological_process
+
+[Term]
+id: GO:0000002
+name: metabolism
+namespace: biological_process
+is_a: GO:0000001 ! root_bio
+
+[Term]
+id: GO:0000003
+name: glycolysis
+namespace: biological_process
+is_a: GO:0000002 ! metabolism
+
+[Term]
+id: GO:0000009
+name: dead
+is_obsolete: true
+"""
+
+
+class TestGoTerm:
+    def test_dag_levels(self):
+        dag = GoDag(io.StringIO(_OBO))
+        # root -> GO:...001 -> GO:...002 -> GO:...003
+        assert dag.level('GO:0000003', 2) == 'GO:0000002'
+        assert dag.level('GO:0000002', 2) == 'GO:0000002'
+        assert dag.level('GO:0000404', 2) == 'unknown'
+        assert 'GO:0000009' not in dag.tables
+
+    def test_profile(self):
+        dag = GoDag(io.StringIO(_OBO))
+        annot = ['t|g1\tfoo GO:0000003 bar\n',
+                 't|g2\tGO:0000003\n',
+                 't|g2\tGO:0000003 again\n']   # dup (gene, go) ignored
+        type_of = {'t|g1': 'Core', 't|g2': 'Specific'}
+        rows = list(goterm_profile(annot, type_of, dag))
+        assert rows[0] == 'GOterm\tfunction\tCore\tSpecific\n'
+        assert rows[1] == 'biological_process\tmetabolism\t1\t1\n'
+
+    def test_pan_type_map(self):
+        pan = ['# comment\n', 'group_000000000\tCore\t1\t1\n',
+               'group_000000001\tShare\t1\t0\n']
+        clsr = ['a|1\tb|1\n', 'a|2\n']
+        m = pan_type_map(pan, clsr)
+        assert m == {'a|1': 'Core', 'b|1': 'Core', 'a|2': 'Share'}
+
+
+class TestOrth2Phy:
+    def test_families_and_concat(self):
+        recs = [('a|1', 'MKVLAWDERTYH'), ('a|2', 'GGGGGG'),
+                ('b|1', 'MKVLAWDETYH'), ('c|1', 'MKVLAWDERTYH')]
+        db = SeqDB.from_records(recs)
+        orth = ['OT\ta|1\tb|1\t1.0\n', 'OT\ta|1\tc|1\t1.0\n',
+                'OT\ta|2\tb|9\t1.0\n']   # b|9 not in db
+        fams = orth_families(orth, db)
+        assert ['a|1', 'b|1', 'c|1'] in fams
+        out = orth2phy(orth, db)
+        taxa = {t for t, _ in out}
+        assert taxa == {'a', 'b', 'c'}
+        assert len({len(s) for _, s in out}) == 1
+
+
+class TestFsfdp:
+    def test_two_blobs(self):
+        # distances: small within blobs, large across
+        lines = []
+        blob1 = ['a%d' % i for i in range(5)]
+        blob2 = ['b%d' % i for i in range(5)]
+        for blob in (blob1, blob2):
+            for i in range(5):
+                for j in range(i + 1, 5):
+                    lines.append('%s\t%s\t0.1\n' % (blob[i], blob[j]))
+        lines.append('a0\tb0\t10.0\n')
+        assign = fsfdp_cluster(lines)
+        if assign:   # centers heuristic can be conservative on tiny data
+            lbls = {}
+            for g, c in assign.items():
+                lbls.setdefault(g[0], set()).add(c)
+            # no cluster mixes blobs
+            if 'a' in lbls and 'b' in lbls:
+                assert not (lbls['a'] & lbls['b'])
+
+    def test_groups_output(self):
+        lines = ['x%d\tx%d\t0.1\n' % (i, j)
+                 for i in range(6) for j in range(i + 1, 6)]
+        out = list(fsfdp_groups(lines))
+        for row in out:
+            assert row.endswith('\n')
+
+
+class TestIndexPersistence:
+    def test_roundtrip(self, tmp_path):
+        db = SeqDB.from_records([('t|a', 'MKVLAWDERTYH' * 3),
+                                 ('t|b', 'ACDEFGHIKLMNP' * 3)])
+        ix = build_index(db, 0, 2, [AA9], '11111111', 1 << 16)
+        p = str(tmp_path / 'chunk0.npz')
+        save_index(p, ix)
+        ix2 = load_index(p)
+        assert ix2.nc == ix.nc and ix2.threshold == ix.threshold
+        assert np.array_equal(ix2.start, ix.start)
+        assert np.array_equal(ix2.locus, ix.locus)
+        assert np.array_equal(ix2.soas, ix.soas)
+
+
+class TestScriptCLI:
+    def test_dispatch_table(self):
+        from swiftortho_tpu.cli.scripts import COMMANDS
+        for name in ('pan_genome', 'rbh2phy', 'orth2phy', 'get_rbh',
+                     'operon_cluster', 'nr_flt', 'nr2full', 'extract_core',
+                     'mcl_cmp', 'merge', 'pan_goterm', 'fsfdp'):
+            assert name in COMMANDS
+
+    def test_mcl_cmp_cli(self, tmp_path, capsys):
+        from swiftortho_tpu.cli.scripts import main
+        q = tmp_path / 'q.txt'
+        r = tmp_path / 'r.txt'
+        q.write_text('a\tb\nc\td\n')
+        r.write_text('b\ta\nx\ty\n')
+        assert main(['mcl_cmp', str(q), str(r)]) == 0
+        out = capsys.readouterr().out
+        assert 'qry 50.000000%' in out

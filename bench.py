@@ -115,9 +115,9 @@ def main():
         return
 
     cpu = _run('--cpu-worker', timeout=600)
-    tpu = _run('--tpu-worker', timeout=420)
+    tpu = _run('--tpu-worker', timeout=900)
     if tpu is None:                               # one retry (cold tunnel)
-        tpu = _run('--tpu-worker', timeout=420)
+        tpu = _run('--tpu-worker', timeout=900)
 
     tpu_v = tpu['cells_per_s'] if tpu else 0.0
     cpu_v = cpu['cells_per_s'] if cpu else 0.0

@@ -353,26 +353,47 @@ def sw_align_batch(tok0: jnp.ndarray, tok1: jnp.ndarray,
     return best
 
 
+_CHUNK = 512          # pairs per pallas kernel launch (VMEM-bound)
+
+
+@jax.jit
+def _sw_align_chunked(t0, t1, l0, l1):
+    """(N, 512, L) chunked alignment in ONE dispatch: lax.map over the
+    pallas kernel (dispatch through the TPU tunnel costs ~20 ms, so many
+    chunks must ride one call)."""
+    from .banded_sw_pallas import sw_align_batch_pallas
+
+    def one(args):
+        return sw_align_batch_pallas.__wrapped__(*args)
+
+    return jax.lax.map(one, (t0, t1, l0, l1))
+
+
 def sw_align_auto(tok0, tok1, len0, len1):
-    """Dispatch to the Pallas TPU kernel when running on TPU (padding the
-    pair axis to a multiple of 128), else the portable lax.scan version."""
+    """Dispatch to the Pallas TPU kernel when running on TPU (fixed
+    512-pair chunks, power-of-two chunk counts to bound compilation),
+    else the portable lax.scan version."""
     import jax as _jax
 
     B = tok0.shape[0]
     platform = _jax.default_backend()
     if platform in ('tpu', 'axon'):
-        from .banded_sw_pallas import sw_align_batch_pallas
-
-        pad = (-B) % 128
+        n = -(-B // _CHUNK)
+        npow = 1
+        while npow < n:
+            npow *= 2
+        pad = npow * _CHUNK - B
         if pad:
             tok0 = np.pad(tok0, ((0, pad), (0, 0)))
             tok1 = np.pad(tok1, ((0, pad), (0, 0)))
             len0 = np.pad(len0, (0, pad))
             len1 = np.pad(len1, (0, pad))
-        out = sw_align_batch_pallas(tok0, tok1, len0, len1)
-        if pad:
-            out = {k: v[:B] for k, v in out.items()}
-        return out
+        sh0 = (npow, _CHUNK, tok0.shape[1])
+        sh1 = (npow, _CHUNK, tok1.shape[1])
+        out = _sw_align_chunked(tok0.reshape(sh0), tok1.reshape(sh1),
+                                len0.reshape(npow, _CHUNK).astype(np.int32),
+                                len1.reshape(npow, _CHUNK).astype(np.int32))
+        return {k: np.asarray(v).reshape(-1)[:B] for k, v in out.items()}
     return sw_align_batch(tok0, tok1, len0, len1)
 
 

@@ -91,23 +91,42 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
         if len(sel) == 0:
             continue
         B = len(sel)
+        # vectorized suffix gather: query suffixes come from the padded
+        # q_tokens rows, subject suffixes from the flat db token array
+        q_st = band_q[sel]
+        s_st = db.offsets[subject[sel]] + band_s[sel]
+        q_n = np.minimum(sufq[sel], bucket).astype(np.int64)
+        s_n = np.minimum(sufs[sel], bucket).astype(np.int64)
+        sw = swapped[sel]
         t0 = np.zeros((B, bucket), np.uint8)
         t1 = np.zeros((B, bucket), np.uint8)
-        l0 = np.zeros(B, np.int32)
-        l1 = np.zeros(B, np.int32)
-        for r, p in enumerate(sel):
-            if swapped[p]:
-                c_tok = db.tokens[db.offsets[subject[p]] + band_s[p]:
-                                  db.offsets[subject[p] + 1]]
-                w_tok = q_tokens[qrow[p], band_q[p]:lq[p]]
+
+        def scatter(dst, rows_mask, starts, counts, src_flat, src2d_rows):
+            rows = np.flatnonzero(rows_mask)
+            if len(rows) == 0:
+                return
+            cnt = counts[rows]
+            tot = int(cnt.sum())
+            if tot == 0:
+                return
+            rr = np.repeat(rows, cnt)
+            excl = np.zeros(len(rows) + 1, np.int64)
+            np.cumsum(cnt, out=excl[1:])
+            cc = np.arange(tot, dtype=np.int64) - np.repeat(excl[:-1], cnt)
+            if src_flat is not None:
+                dst[rr, cc] = src_flat[np.repeat(starts[rows], cnt) + cc]
             else:
-                c_tok = q_tokens[qrow[p], band_q[p]:lq[p]]
-                w_tok = db.tokens[db.offsets[subject[p]] + band_s[p]:
-                                  db.offsets[subject[p] + 1]]
-            t0[r, :len(c_tok)] = c_tok[:bucket]
-            t1[r, :min(len(w_tok), bucket)] = w_tok[:bucket]
-            l0[r] = min(len(c_tok), bucket)
-            l1[r] = min(len(w_tok), bucket)
+                dst[rr, cc] = q_tokens[np.repeat(src2d_rows[rows], cnt),
+                                       np.repeat(starts[rows], cnt) + cc]
+
+        qr = qrow[sel]
+        # columns (t0): query unless swapped; rows (t1): the other one
+        scatter(t0, ~sw, q_st, q_n, None, qr)
+        scatter(t0, sw, s_st, s_n, db.tokens, None)
+        scatter(t1, sw, q_st, q_n, None, qr)
+        scatter(t1, ~sw, s_st, s_n, db.tokens, None)
+        l0 = np.where(sw, s_n, q_n).astype(np.int32)
+        l1 = np.where(sw, q_n, s_n).astype(np.int32)
         best = sw_align_auto(t0, t1, l0, l1)
         res = postprocess_batch(best, band_q[sel], band_s[sel], swapped[sel])
         for k in ('aln', 'mis', 'gap', 'qst', 'qed', 'sst', 'sed',

@@ -98,11 +98,13 @@ def _xdrop_window(dvals: np.ndarray, valid: np.ndarray, base: np.ndarray):
 
     dvals: substitution scores in walk order; valid: in-bounds mask;
     base: (G,) starting score (0 for the right phase, best_r for left).
-    Returns (best, best_t): running max (>= base) and index of the max
-    step (-1 if the max is the base itself).  Walk semantics match
-    ungap (fsearch.py:2454-2494): each in-bounds step adds its score;
-    stop *after* the first step whose total drops more than XDROP below
-    the running max; out-of-bounds stops before the step.
+    Returns (best, best_t, alive): running max (>= base), index of the max
+    step (-1 if the max is the base itself), and whether the walk reached
+    the window end without stopping (candidate for re-run with a longer
+    window).  Walk semantics match ungap (fsearch.py:2454-2494): each
+    in-bounds step adds its score; stop *after* the first step whose
+    total drops more than XDROP below the running max; out-of-bounds
+    stops before the step.
     """
     G, W = dvals.shape
     d = np.where(valid, dvals.astype(np.int64), np.int64(-10 ** 9))
@@ -110,14 +112,15 @@ def _xdrop_window(dvals: np.ndarray, valid: np.ndarray, base: np.ndarray):
     runmax = np.maximum.accumulate(
         np.concatenate([base[:, None], sums[:, :-1]], axis=1), axis=1)
     stopped = sums + XDROP < runmax          # true at the breaking step
-    # steps strictly after a stop (or after an invalid step) don't count
+    ended = stopped | ~valid
     dead = np.concatenate([np.zeros((G, 1), bool),
-                           np.logical_or.accumulate(stopped | ~valid,
+                           np.logical_or.accumulate(ended,
                                                     axis=1)[:, :-1]], axis=1)
     alive_sums = np.where(dead | ~valid, np.int64(-10 ** 9), sums)
     best = np.maximum(base, alive_sums.max(axis=1))
     best_t = np.where(best > base, np.argmax(alive_sums, axis=1), -1)
-    return best, best_t
+    alive = ~ended.any(axis=1)
+    return best, best_t, alive
 
 
 def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
@@ -207,43 +210,53 @@ def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
         covered = act & ~first_ext & (p_now <= cover_x)
         ext = act & ~covered
         ptr[covered] += 1
-        ga = np.flatnonzero(ext)
-        if len(ga) == 0:
+        ga_all = np.flatnonzero(ext)
+        if len(ga_all) == 0:
             continue
-        p0 = p_qst[ptr[ga]]
-        s0 = p0 - g_diag[ga]                     # subject position of seed
-        qlo = np.where(first_ext[ga], 0, cover_x[ga])
-        slo = np.where(first_ext[ga], 0, qlo - g_diag[ga])
-        qlen, slen = q_len[ga], s_len[ga]
+        for gs in range(0, len(ga_all), 1 << 18):   # bound window memory
+            ga = ga_all[gs:gs + (1 << 18)]
+            p0 = p_qst[ptr[ga]]
+            s0 = p0 - g_diag[ga]                 # subject position of seed
+            qlo = np.where(first_ext[ga], 0, cover_x[ga])
+            slo = np.where(first_ext[ga], 0, qlo - g_diag[ga])
+            qlen, slen = q_len[ga], s_len[ga]
 
-        # right phase: walk t = 0.. from the seed; in-bounds needs
-        # lo < pos < len on both sequences (strict, reference ungap)
-        t = np.arange(W, dtype=np.int64)[None, :]
-        qpos = p0[:, None] + t
-        spos = s0[:, None] + t
-        validr = ((qpos > qlo[:, None]) & (qpos < qlen[:, None])
-                  & (spos > slo[:, None]) & (spos < slen[:, None]))
-        qi = q_tokens[g_qrow[ga][:, None], np.clip(qpos, 0, L - 1)]
-        sj = tok[np.clip(s_off[ga][:, None] + spos, 0, len(tok) - 1)]
-        dval = _B62_I16[qi, sj]
-        zero = np.zeros(len(ga), dtype=np.int64)
-        best_r, t_r = _xdrop_window(dval, validr, zero)
-        max_qed = np.where(t_r >= 0, p0 + t_r, p0)
+            def walk(rows, start_q, start_s, step, base, width):
+                """One-direction windowed x-drop for group rows `rows`."""
+                t = np.arange(width, dtype=np.int64)[None, :]
+                qpos = start_q[:, None] + step * t
+                spos = start_s[:, None] + step * t
+                valid = ((qpos > qlo[rows][:, None])
+                         & (qpos < qlen[rows][:, None])
+                         & (spos > slo[rows][:, None])
+                         & (spos < slen[rows][:, None]))
+                qi = q_tokens[g_qrow[ga[rows]][:, None],
+                              np.clip(qpos, 0, L - 1)]
+                sj = tok[np.clip(s_off[ga[rows]][:, None] + spos, 0,
+                                 len(tok) - 1)]
+                return _xdrop_window(_B62_I16[qi, sj], valid, base)
 
-        # left phase: walk t = 0.. from seed-1 leftward
-        qposl = p0[:, None] - 1 - t
-        sposl = s0[:, None] - 1 - t
-        validl = ((qposl > qlo[:, None]) & (qposl < qlen[:, None])
-                  & (sposl > slo[:, None]) & (sposl < slen[:, None]))
-        qi = q_tokens[g_qrow[ga][:, None], np.clip(qposl, 0, L - 1)]
-        sj = tok[np.clip(s_off[ga][:, None] + sposl, 0, len(tok) - 1)]
-        dvall = _B62_I16[qi, sj]
-        best, _ = _xdrop_window(dvall, validl, best_r)
+            def walk_escalated(start_q, start_s, step, base):
+                rows = np.arange(len(ga))
+                best, t_at, alive = walk(rows, start_q, start_s, step,
+                                         base, 64)
+                esc = np.flatnonzero(alive)
+                if len(esc):      # rare: true homologs extending far
+                    b2, t2, _ = walk(esc, start_q[esc], start_s[esc],
+                                     step, base[esc], W)
+                    best[esc] = b2
+                    t_at[esc] = t2
+                return best, t_at
 
-        totalsc[ga] += best
-        cover_x[ga] = max_qed
-        first_ext[ga] = False
-        ptr[ga] += 1
+            zero = np.zeros(len(ga), dtype=np.int64)
+            best_r, t_r = walk_escalated(p0, s0, 1, zero)
+            max_qed = np.where(t_r >= 0, p0 + t_r, p0)
+            best, _ = walk_escalated(p0 - 1, s0 - 1, -1, best_r)
+
+            totalsc[ga] += best
+            cover_x[ga] = max_qed
+            first_ext[ga] = False
+            ptr[ga] += 1
 
     # ---- per-subject best chain ----
     ok = totalsc >= MIN_CHAIN_SCORE

@@ -16,7 +16,7 @@ No download here (zero-egress environment): go.obo must be a local path.
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterable, Iterator, List, Tuple
+from typing import Dict, Iterable, Iterator, Tuple
 
 _GO = re.compile(r'GO:\d{7}')
 

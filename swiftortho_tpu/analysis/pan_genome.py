@@ -17,7 +17,7 @@ Behavioral contract: reference scripts/pan_genome.py:
 from __future__ import annotations
 
 import random
-from typing import IO, Iterable, List, Tuple
+from typing import IO, Iterable, List
 
 import numpy as np
 

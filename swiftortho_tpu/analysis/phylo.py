@@ -9,7 +9,7 @@ clamping; output = newick.
 from __future__ import annotations
 
 from math import log
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -13,7 +13,7 @@ cluster all components.
 
 from __future__ import annotations
 
-from typing import IO, Iterable, Iterator, List, Tuple
+from typing import Iterable, Iterator, List
 
 import numpy as np
 

@@ -20,7 +20,7 @@ larger than ``max_dense`` fall back to scipy sparse with the same loop.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
@@ -34,7 +34,7 @@ _SIZE_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 @partial(jax.jit, static_argnames=('inflation', 'expansion', 'prune',
                                    'rtol', 'atol', 'itr', 'check'))
-def _mcl_dense_batch(x: jnp.ndarray, nreal: jnp.ndarray,
+def _mcl_dense_batch(x: jnp.ndarray,
                      inflation: float = 1.5, expansion: int = 2,
                      prune: float = 1e-5, rtol: float = 1e-5,
                      atol: float = 1e-8, itr: int = 100, check: int = 5):
@@ -172,7 +172,6 @@ def _run_dense_batch(batch, comp_nodes, ei, ej, w, e_order, e_bounds, s,
             x[r, idx, idx] = 1.0
 
     xr = np.asarray(_mcl_dense_batch(jnp.asarray(x),
-                                     jnp.zeros(B, jnp.int32),
                                      inflation=float(inflation),
                                      prune=float(prune)))
     out = []
@@ -180,7 +179,6 @@ def _run_dense_batch(batch, comp_nodes, ei, ej, w, e_order, e_bounds, s,
         m = len(nodes)
         sub = xr[r, :m, :m]
         ri, rj = np.nonzero(sub > prune)
-        keep = np.ones(0, np.int64)
         if len(ri):
             sub_labels = connected_components(m, ri, rj)
             # only nodes that appear in a surviving edge (ref builds the

@@ -30,7 +30,7 @@ Output: "REL\\tqid\\tsid\\tweight" lines, REL in {IP, OT, CO}.
 
 from __future__ import annotations
 
-from collections import Counter
+
 from typing import Dict, Iterable, Iterator, List, Tuple
 
 from ..config import OrthConfig

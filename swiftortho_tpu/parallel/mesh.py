@@ -14,8 +14,8 @@ Collectives ride ICI via jax.sharding + jit; no NCCL/MPI analog needed.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
+
+
 
 import numpy as np
 

@@ -23,7 +23,7 @@ extra FLOPs but changes nothing observable).
 
 from __future__ import annotations
 
-import sys
+
 from dataclasses import dataclass
 from typing import IO, Iterator, List
 

@@ -21,10 +21,13 @@ _lock = threading.Lock()
 _lib = None
 
 
+_SOURCES = ('banded_sw.cpp', 'chain.cpp')
+
+
 def _build() -> str:
-    src = os.path.join(_HERE, 'banded_sw.cpp')
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES]
     cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC',
-           '-o', _SO, src]
+           '-o', _SO] + srcs
     subprocess.run(cmd, check=True, capture_output=True)
     return _SO
 
@@ -34,9 +37,10 @@ def load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or (
+        if not os.path.exists(_SO) or any(
                 os.path.getmtime(_SO)
-                < os.path.getmtime(os.path.join(_HERE, 'banded_sw.cpp'))):
+                < os.path.getmtime(os.path.join(_HERE, s))
+                for s in _SOURCES):
             _build()
         lib = ctypes.CDLL(_SO)
         lib.sw_align_batch.argtypes = [
@@ -47,6 +51,14 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32)]
         lib.sw_align_batch.restype = None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.chain_scores.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            i64p, i64p, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p, i64p,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int32, i64p]
+        lib.chain_scores.restype = None
         _lib = lib
         return _lib
 
@@ -78,3 +90,34 @@ def sw_align_batch_native(tok0: np.ndarray, tok1: np.ndarray,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     keys = ('score', 'bi', 'bj', 'sti', 'stj', 'idy', 'aln', 'mis', 'gap')
     return {k: out[:, i].astype(np.int64) for i, k in enumerate(keys)}
+
+
+def chain_scores_native(q_tokens: np.ndarray, db_tokens: np.ndarray,
+                        grp_start: np.ndarray, grp_size: np.ndarray,
+                        g_qrow: np.ndarray, g_diag: np.ndarray,
+                        s_off: np.ndarray, s_len: np.ndarray,
+                        q_len: np.ndarray, p_qst: np.ndarray,
+                        xdrop: int = 30) -> np.ndarray:
+    """Exact chain scores (reference get_ungap_scores semantics) for
+    (subject, diagonal) groups; see native/chain.cpp."""
+    lib = load()
+    q_tokens = np.ascontiguousarray(q_tokens, np.uint8)
+    db_tokens = np.ascontiguousarray(db_tokens, np.uint8)
+    arrs = [np.ascontiguousarray(a, np.int64) for a in
+            (grp_start, grp_size, g_qrow, g_diag, s_off, s_len, q_len,
+             p_qst)]
+    n = len(arrs[0])
+    out = np.zeros(n, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.chain_scores(
+        q_tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        q_tokens.shape[1],
+        db_tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(db_tokens),
+        arrs[0].ctypes.data_as(i64p), arrs[1].ctypes.data_as(i64p), n,
+        arrs[2].ctypes.data_as(i64p), arrs[3].ctypes.data_as(i64p),
+        arrs[4].ctypes.data_as(i64p), arrs[5].ctypes.data_as(i64p),
+        arrs[6].ctypes.data_as(i64p), arrs[7].ctypes.data_as(i64p),
+        _SUB.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        xdrop, out.ctypes.data_as(i64p))
+    return out

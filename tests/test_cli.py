@@ -1,0 +1,76 @@
+"""CLI entry points, driven as real subprocesses (CPU backend)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from swiftortho_tpu.corpus import make_corpus, write_corpus
+
+ENV = dict(os.environ, JAX_PLATFORMS='cpu',
+           PYTHONPATH=os.path.dirname(os.path.dirname(
+               os.path.abspath(__file__))))
+
+
+def _run(args, **kw):
+    return subprocess.run([sys.executable, '-m'] + args, env=ENV,
+                          capture_output=True, text=True, timeout=300, **kw)
+
+
+@pytest.fixture(scope='module')
+def corpus_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp('cli')
+    fsa = str(p / 'c.fsa')
+    write_corpus(fsa, make_corpus(n_taxa=2, n_families=6, seed=2,
+                                  min_len=60, max_len=120))
+    return fsa
+
+
+class TestCliPipeline:
+    def test_three_stages(self, corpus_file, tmp_path):
+        sc = str(tmp_path / 'out.sc')
+        r = _run(['swiftortho_tpu.cli.find_hit', '-p', 'blastp',
+                  '-i', corpus_file, '-d', corpus_file, '-o', sc,
+                  '-e', '1e-5', '-M', '262144'])
+        assert r.returncode == 0, r.stderr[-800:]
+        rows = open(sc).read().splitlines()
+        assert rows
+        # m8 contract: 16 cols; col 11 is '%f'-formatted bit; col 10 f2s E
+        f = rows[0].split('\t')
+        assert len(f) == 16
+        assert '.' in f[11] and float(f[11]) > 0
+        assert f[2].count('.') <= 1
+        assert int(f[14]) == 0
+
+        r = _run(['swiftortho_tpu.cli.find_orth', '-i', sc, '-c', '0.5',
+                  '-y', '0'])
+        assert r.returncode == 0, r.stderr[-800:]
+        orth = str(tmp_path / 'out.orth')
+        open(orth, 'w').write(r.stdout)
+        assert all(l.split('\t')[0] in ('IP', 'OT', 'CO')
+                   for l in r.stdout.splitlines())
+
+        r = _run(['swiftortho_tpu.cli.find_cluster', '-i', orth,
+                  '-a', 'mcl'])
+        assert r.returncode == 0, r.stderr[-800:]
+        assert r.stdout.strip()
+
+    def test_usage_errors(self):
+        r = _run(['swiftortho_tpu.cli.find_hit'])
+        assert r.returncode == 1
+        assert 'Usage' in r.stdout
+        r = _run(['swiftortho_tpu.cli.find_orth'])
+        assert r.returncode == 1
+        r = _run(['swiftortho_tpu.cli.scripts', 'nonsense'])
+        assert r.returncode == 1
+
+    def test_joined_flag_form(self, corpus_file, tmp_path):
+        # reference accepts '-kvalue' (no space)
+        sc = str(tmp_path / 'j.sc')
+        r = _run(['swiftortho_tpu.cli.find_hit', '-pblastp',
+                  '-i' + corpus_file, '-d' + corpus_file, '-o' + sc,
+                  '-M262144'])
+        assert r.returncode == 0, r.stderr[-800:]
+        assert open(sc).read()

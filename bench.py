@@ -72,6 +72,8 @@ def _tpu_worker():
 def _cpu_worker():
     import time
 
+    os.environ['SWNATIVE_THREADS'] = '1'          # single-core baseline
+
     import numpy as np
     from swiftortho_tpu.native import sw_align_batch_native
 

@@ -14,6 +14,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
+#include <thread>
 #include <vector>
 #include <algorithm>
 
@@ -140,17 +142,40 @@ void sw_align_one(const uint8_t* tok0, int32_t l0s,
     out[7] = bcell.mis; out[8] = bcell.gap;
 }
 
-// Batch of pairs with padded (B, L0)/(B, L1) token arrays.
+// Batch of pairs with padded (B, L0)/(B, L1) token arrays; pair-parallel
+// over hardware threads.
 void sw_align_batch(const uint8_t* tok0, const uint8_t* tok1,
                     const int32_t* len0, const int32_t* len1,
                     int32_t n_pairs, int32_t pad0, int32_t pad1,
                     const int8_t* sub256, int32_t kbound,
                     int32_t go, int32_t ge, int32_t* out /* (B,9) */) {
-    for (int32_t p = 0; p < n_pairs; ++p) {
-        sw_align_one(tok0 + (int64_t)p * pad0, len0[p],
-                     tok1 + (int64_t)p * pad1, len1[p],
-                     sub256, kbound, go, ge, out + (int64_t)p * 9);
+    unsigned nt = std::thread::hardware_concurrency();
+    if (const char* env = getenv("SWNATIVE_THREADS")) {
+        int v = atoi(env);          // e.g. =1 for the bench baseline
+        if (v > 0) nt = v;
     }
+    if (nt < 1) nt = 1;
+    if ((int32_t)nt > n_pairs) nt = n_pairs > 0 ? n_pairs : 1;
+    auto work = [&](int32_t lo, int32_t hi) {
+        for (int32_t p = lo; p < hi; ++p) {
+            sw_align_one(tok0 + (int64_t)p * pad0, len0[p],
+                         tok1 + (int64_t)p * pad1, len1[p],
+                         sub256, kbound, go, ge, out + (int64_t)p * 9);
+        }
+    };
+    if (nt == 1) {
+        work(0, n_pairs);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int32_t step = (n_pairs + nt - 1) / nt;
+    for (unsigned t = 0; t < nt; ++t) {
+        int32_t lo = t * step;
+        int32_t hi = std::min(n_pairs, lo + step);
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

@@ -394,7 +394,12 @@ def sw_align_auto(tok0, tok1, len0, len1):
                                 len0.reshape(npow, _CHUNK).astype(np.int32),
                                 len1.reshape(npow, _CHUNK).astype(np.int32))
         return {k: np.asarray(v).reshape(-1)[:B] for k, v in out.items()}
-    return sw_align_batch(tok0, tok1, len0, len1)
+    try:        # host: the C++ kernel is ~10x the portable lax.scan one
+        from ..native import sw_align_batch_native
+        return sw_align_batch_native(np.asarray(tok0), np.asarray(tok1),
+                                     np.asarray(len0), np.asarray(len1))
+    except Exception:
+        return sw_align_batch(tok0, tok1, len0, len1)
 
 
 def postprocess_batch(best: dict, qst: np.ndarray, sst: np.ndarray,

@@ -150,16 +150,20 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig) -> Iterator[str]:
 
     vmax = int(max(100, max(cfg.v + 100, cfg.v * 1.1)))
 
+    # chunk indexes are wave-invariant: build once (the reference rebuilds
+    # per worker process, fsearch.py:2990 — in-process we can reuse)
+    indexes = [build_index(ref, cst, min(cst + chunk, D), alphabets,
+                           cfg.seeds, cfg.nc, cfg.step,
+                           threshold_override=cfg.threshold)
+               for cst in range(0, D, chunk)]
+
     for wst in range(0, nq, cfg.query_batch):
         wend = min(wst + cfg.query_batch, nq)
         idx = np.arange(wst, wend, dtype=np.int64)
         toks, lens = _mask_queries(qry, idx, pad, cfg.filter_query)
 
         cands: List[Candidates] = []
-        for cst in range(0, D, chunk):
-            index = build_index(ref, cst, min(cst + chunk, D), alphabets,
-                                cfg.seeds, cfg.nc, cfg.step,
-                                threshold_override=cfg.threshold)
+        for index in indexes:
             cands.append(generate_candidates(toks, lens, ref, index,
                                              alphabets, cfg.seeds))
 

@@ -66,7 +66,6 @@ def _tpu_worker():
         dt = (time.time() - tt) / ITERS
         best = max(best, CELLS / dt)
     print(json.dumps({'cells_per_s': best, 'chk': chk}), flush=True)
-    os._exit(0)
 
 
 def _cpu_worker():
@@ -90,21 +89,27 @@ def _cpu_worker():
     dt = time.time() - tt
     print(json.dumps({'cells_per_s': n * L * BAND / dt,
                       'chk': int(r['score'].sum())}), flush=True)
-    os._exit(0)
 
 
 def _run(worker, timeout):
+    out = ''
     try:
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
                             worker], capture_output=True, text=True,
                            timeout=timeout, cwd=os.path.dirname(
                                os.path.abspath(__file__)))
-        for line in p.stdout.splitlines():
-            line = line.strip()
-            if line.startswith('{'):
+        out = p.stdout or ''
+    except subprocess.TimeoutExpired as e:   # results may precede a hung exit
+        out = (e.stdout or b'')
+        if isinstance(out, bytes):
+            out = out.decode(errors='replace')
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith('{'):
+            try:
                 return json.loads(line)
-    except (subprocess.TimeoutExpired, json.JSONDecodeError):
-        pass
+            except json.JSONDecodeError:
+                pass
     return None
 
 

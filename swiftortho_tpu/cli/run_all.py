@@ -25,12 +25,14 @@ from ..analysis.rbh import rbh2phy
 from ..cluster.driver import find_cluster_stream
 from ..orth.inference import find_orth_stream
 from ..search.blastp import blastp_to_file
+from ..utils import fresh, log_event, stage
 from ._args import parse_args
 
 DEFAULTS = {'-i': '', '-r': '', '-p': '', '-s': '1111111', '-c': '.5',
             '-y': '50', '-n': 'no', '-l': '.05', '-u': '.95', '-a': '1',
             '-A': 'apc', '-I': '1.5', '-v': '1000', '-M': '120000000',
-            '-z': ''}   # -z fast = run_all_fast nr-dedup variant
+            '-z': '',   # -z fast = run_all_fast nr-dedup variant
+            '-R': 'n'}  # -R y = resume: skip stages with fresh outputs
 
 
 def main(argv=None):
@@ -46,12 +48,16 @@ def main(argv=None):
     res = '%s_results' % fas
     os.makedirs(res, exist_ok=True)
 
+    resume = args['-R'].lower().startswith('y')
+
     # 1. all-vs-all search (reference: -e 1e-5 -m 5e-2, run_all.py:104)
     t0 = time()
     sc_path = '%s/%s.sc' % (res, sfx)
     scfg = SearchConfig(expect=1e-5, v=int(args['-v']), max_miss=5e-2,
                         seeds=args['-s'], nc=int(args['-M']))
-    if args.get('-z') == 'fast':
+    if resume and fresh(sc_path, fas):
+        log_event('search', skipped=True)
+    elif args.get('-z') == 'fast':
         # run_all_fast variant (scripts/run_all_fast.py): collapse exact
         # duplicates, search the nr set, re-expand the hit table
         from ..analysis.misc import nr_collapse, nr_expand
@@ -66,6 +72,7 @@ def main(argv=None):
                 out.write(line)
     else:
         blastp_to_file(fas, fas, sc_path, scfg)
+    log_event('search', seconds=round(time() - t0, 3))
     print('all to all homologous searching time:', time() - t0)
 
     # 2. orthology inference
@@ -73,9 +80,13 @@ def main(argv=None):
     opc_path = '%s/%s.opc' % (res, sfx)
     ocfg = OrthConfig(coverage=float(args['-c']), identity=float(args['-y']),
                       norm=args['-n'])
-    with open(sc_path) as fh, open(opc_path, 'w') as out:
-        for line in find_orth_stream(fh, ocfg):
-            out.write(line)
+    if resume and fresh(opc_path, sc_path):
+        log_event('orth', skipped=True)
+    else:
+        with stage('orth'):
+            with open(sc_path) as fh, open(opc_path, 'w') as out:
+                for line in find_orth_stream(fh, ocfg):
+                    out.write(line)
     print('orthomcl algorithm time:', time() - t0)
 
     # 3. clustering
@@ -83,9 +94,13 @@ def main(argv=None):
     clsr_path = '%s/%s.clsr' % (res, sfx)
     ccfg = ClusterConfig(algorithm=args['-A'].lower(),
                          inflation=float(args['-I']))
-    with open(opc_path) as fh, open(clsr_path, 'w') as out:
-        for line in find_cluster_stream(fh, ccfg):
-            out.write(line)
+    if resume and fresh(clsr_path, opc_path):
+        log_event('cluster', skipped=True)
+    else:
+        with stage('cluster', algorithm=ccfg.algorithm):
+            with open(opc_path) as fh, open(clsr_path, 'w') as out:
+                for line in find_cluster_stream(fh, ccfg):
+                    out.write(line)
     print('use %s to group protein family time:' % args['-A'], time() - t0)
 
     # 4. pan-genome statistics

@@ -31,10 +31,23 @@ def manual_print():
     print('  -r alphabet: aa9 | aa20 | custom comma groups')
     print('  -m max miss ratio  -t kmer count threshold  -j seed stride')
     print('  -F T|F filter query  -M hash buckets  -c ref chunk size')
+    print('  -p makedb -i ref.fsa : persist chunk indexes (ref.fsa.N.npz)')
+    print('  -D prefix : search against indexes persisted by makedb')
 
 
 def main(argv=None):
     args = parse_args(argv or sys.argv, DEFAULTS)
+    if args['-p'] == 'makedb':
+        if not args['-i']:
+            manual_print()
+            return 1
+        from ..io_fasta import SeqDB
+        from ..search.blastp import make_db
+        cfg = SearchConfig(seeds=args['-s'], alphabet=args['-r'],
+                           step=int(args['-j']), nc=int(args['-M']),
+                           chunk=int(args['-c']))
+        make_db(SeqDB.from_path(args['-i']), cfg, out_prefix=args['-i'])
+        return 0
     if args['-p'] != 'blastp' or not args['-i'] or not args['-d']:
         manual_print()
         return 1
@@ -46,10 +59,8 @@ def main(argv=None):
         threshold=int(args['-t']), nc=int(args['-M']),
         chunk=int(args['-c']))
     out = args['-o']
-    if out:
-        blastp_to_file(args['-i'], args['-d'], out, cfg)
-    else:
-        blastp_to_file(args['-i'], args['-d'], sys.stdout, cfg)
+    blastp_to_file(args['-i'], args['-d'], out or sys.stdout, cfg,
+                   db_prefix=args['-D'])
     return 0
 
 

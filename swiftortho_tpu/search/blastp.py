@@ -136,10 +136,41 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
     return out
 
 
-def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig) -> Iterator[str]:
-    """Yield m8 rows for all queries (index order)."""
+def make_db(ref: SeqDB, cfg: SearchConfig, out_prefix: str = '') -> list:
+    """Build (and optionally persist) all chunk indexes of a reference —
+    the reference's `-p makedb` / formatted-db role (find_hit.py:282-283,
+    fsearch.py Fasta.makedb :2283-2295)."""
+    from ..ops.index import save_index
+
     alphabets = cfg.resolved_alphabets()
     chunk = cfg.effective_chunk()
+    D = len(ref)
+    indexes = []
+    for ci, cst in enumerate(range(0, D, chunk)):
+        ix = build_index(ref, cst, min(cst + chunk, D), alphabets,
+                         cfg.seeds, cfg.nc, cfg.step,
+                         threshold_override=cfg.threshold)
+        if out_prefix:
+            save_index('%s.%d.npz' % (out_prefix, ci), ix)
+        indexes.append(ix)
+    return indexes
+
+
+def load_db(prefix: str) -> list:
+    """Load chunk indexes persisted by make_db (the reference's -D path)."""
+    import glob
+
+    from ..ops.index import load_index
+
+    paths = sorted(glob.glob(prefix + '.*.npz'),
+                   key=lambda p: int(p.rsplit('.', 2)[-2]))
+    return [load_index(p) for p in paths]
+
+
+def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
+                  indexes: list | None = None) -> Iterator[str]:
+    """Yield m8 rows for all queries (index order)."""
+    alphabets = cfg.resolved_alphabets()
     D = len(ref)
     nq = len(qry)
     maxq = int(qry.lengths.max()) if nq else 0
@@ -152,10 +183,8 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig) -> Iterator[str]:
 
     # chunk indexes are wave-invariant: build once (the reference rebuilds
     # per worker process, fsearch.py:2990 — in-process we can reuse)
-    indexes = [build_index(ref, cst, min(cst + chunk, D), alphabets,
-                           cfg.seeds, cfg.nc, cfg.step,
-                           threshold_override=cfg.threshold)
-               for cst in range(0, D, chunk)]
+    if indexes is None:
+        indexes = make_db(ref, cfg)
 
     for wst in range(0, nq, cfg.query_batch):
         wend = min(wst + cfg.query_batch, nq)
@@ -294,14 +323,16 @@ def _align_long_pair(q_tokens, q_lengths, ref: SeqDB, qrow: int, sid: int,
 
 
 def blastp_to_file(qry_path: str, ref_path: str, out: IO[str] | str,
-                   cfg: SearchConfig | None = None):
+                   cfg: SearchConfig | None = None,
+                   db_prefix: str = ''):
     cfg = cfg or SearchConfig()
     qry = SeqDB.from_path(qry_path)
     ref = SeqDB.from_path(ref_path)
+    indexes = load_db(db_prefix) if db_prefix else None
     fh = open(out, 'w') if isinstance(out, str) else out
     try:
         buf = []
-        for row in blastp_stream(qry, ref, cfg):
+        for row in blastp_stream(qry, ref, cfg, indexes=indexes):
             buf.append(row)
             if len(buf) >= 10000:
                 fh.write(''.join(buf))

@@ -74,3 +74,26 @@ class TestCliPipeline:
                   '-M262144'])
         assert r.returncode == 0, r.stderr[-800:]
         assert open(sc).read()
+
+
+class TestMakedb:
+    def test_makedb_then_search(self, corpus_file, tmp_path):
+        import shutil
+        local = str(tmp_path / 'db.fsa')
+        shutil.copy(corpus_file, local)
+        r = _run(['swiftortho_tpu.cli.find_hit', '-p', 'makedb',
+                  '-i', local, '-M', '262144'])
+        assert r.returncode == 0, r.stderr[-500:]
+        import glob
+        assert glob.glob(local + '.*.npz')
+        sc = str(tmp_path / 'd.sc')
+        r = _run(['swiftortho_tpu.cli.find_hit', '-p', 'blastp',
+                  '-i', corpus_file, '-d', local, '-o', sc,
+                  '-M', '262144', '-D', local])
+        assert r.returncode == 0, r.stderr[-500:]
+        # same output as without prebuilt indexes
+        sc2 = str(tmp_path / 'd2.sc')
+        r = _run(['swiftortho_tpu.cli.find_hit', '-p', 'blastp',
+                  '-i', corpus_file, '-d', local, '-o', sc2,
+                  '-M', '262144'])
+        assert open(sc).read() == open(sc2).read()

@@ -13,7 +13,8 @@ from ..orth.inference import find_orth_stream
 from ._args import parse_args
 
 DEFAULTS = {'-i': '', '-c': '0.5', '-y': '0', '-n': 'no',
-            '-t': 'n', '-a': '4', '-T': './tmp/', '-s': '|'}
+            '-t': 'n', '-a': '4', '-T': './tmp/', '-s': '|',
+            '-L': 'n'}   # -L y: out-of-core (GNU-sort spill) mode
 
 
 def main(argv=None):
@@ -24,8 +25,12 @@ def main(argv=None):
         return 1
     cfg = OrthConfig(coverage=float(args['-c']), identity=float(args['-y']),
                      norm=args['-n'], sep=args['-s'])
+    if args['-L'].lower().startswith('y'):
+        from ..orth.outofcore import find_orth_stream_ooc as stream
+    else:
+        stream = find_orth_stream
     with open(args['-i']) as fh:
-        for line in find_orth_stream(fh, cfg):
+        for line in stream(fh, cfg):
             sys.stdout.write(line)
     return 0
 

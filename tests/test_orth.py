@@ -107,3 +107,24 @@ class TestEndToEnd:
         ws = [float(l.split('\t')[3]) for l in lines
               if l.startswith('OT')]
         assert 0.5 < np.mean(ws) < 1.5
+
+
+class TestOutOfCore:
+    def test_matches_in_memory(self, tmp_path):
+        from swiftortho_tpu.orth.outofcore import find_orth_stream_ooc
+        corpus = make_corpus(n_taxa=3, n_families=10, seed=5, dup_prob=0.3)
+        db = SeqDB.from_records(corpus.records)
+        sc = list(blastp_stream(db, db, SearchConfig(expect=1e-5,
+                                                     nc=1 << 18,
+                                                     query_batch=64)))
+        for norm in ('no', 'bsr', 'bal'):
+            cfg = OrthConfig(0.5, 0, norm)
+            mem = list(find_orth_stream(sc, cfg))
+            ooc = list(find_orth_stream_ooc(sc, cfg,
+                                            tmpdir=str(tmp_path)))
+            assert mem == ooc, norm
+
+    def test_empty_input(self, tmp_path):
+        from swiftortho_tpu.orth.outofcore import find_orth_stream_ooc
+        assert list(find_orth_stream_ooc([], OrthConfig(),
+                                         tmpdir=str(tmp_path))) == []

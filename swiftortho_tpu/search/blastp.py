@@ -24,7 +24,6 @@ extra FLOPs but changes nothing observable).
 from __future__ import annotations
 
 
-from dataclasses import dataclass
 from typing import IO, Iterator, List
 
 import numpy as np
@@ -43,15 +42,6 @@ def _fmt_idy(idy: float) -> str:
     s = str(idy)
     end = max(0, s.find('.') + 3)
     return s[:end]
-
-
-@dataclass
-class _QueryWork:
-    """Per-wave state: masked tokens and merged candidates."""
-    q_index: np.ndarray      # global query ids in this wave
-    tokens: np.ndarray       # (B, L) masked query tokens
-    lengths: np.ndarray      # (B,)
-    cands: List[Candidates]
 
 
 def _mask_queries(qry: SeqDB, idx: np.ndarray, pad: int, flt: bool):

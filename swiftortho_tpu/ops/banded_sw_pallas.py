@@ -17,7 +17,7 @@ TPU-native design notes (all constraints measured on the target chip):
   `rev` op is never needed.
 - Substitutions come from a per-batch profile P0[l, c, b] = T[c, code0[l]]
   (built outside by a fused-select pass) combined in-kernel with a static
-  32-channel select over the row codes; byte equality for the identity
+  24-channel select over the row codes; byte equality for the identity
   stat uses raw bytes packed into the same words (packed = raw*32+code).
 - Path statistics are packed two-per-int32 (idy|aln, mis|gap, sti|stj);
   fields are bounded by 4100+4100 < 2**14 per side.
@@ -47,6 +47,7 @@ from ..constants import B62_CODES, BLOSUM62_ALPHA, GAP_EXTEND, GAP_OPEN
 _STAR, _DIAG, _DASH, _PIPE = 0, 1, 2, 3
 BLK_T = 8
 NS = 17          # slot rows (d = -17+2e+p)
+NCH = 24         # profile channels (codes 0..23; 23 is the -4 junk row)
 PACK = 1 << 14   # stats packing base
 
 
@@ -74,11 +75,21 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
                   besth, besti, bestj, bestia, bestmg, bestst):
             r[...] = jnp.zeros_like(r)
 
-    c0blk = jnp.concatenate([r[...] for r in c0_refs], 0)   # (32, B)
-    c1blk = jnp.concatenate([r[...] for r in c1_refs], 0)   # (32, B)
-    p0blk = jnp.concatenate([r[...] for r in p0_refs], 0)   # (32, 32, B)
+    def window(refs, start, rows=NS):
+        """rows [start, start+rows) of the virtual 4-block concat, built
+        from static per-block slices (no full-concat temporaries)."""
+        blk = refs[0].shape[0]
+        parts = []
+        pos = start
+        while pos < start + rows:
+            b = pos // blk
+            lo = pos - b * blk
+            hi = min(blk, lo + (start + rows - pos))
+            parts.append(refs[b][lo:hi])
+            pos += hi - lo
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
-    B = c0blk.shape[1]
+    B = c0_refs[0].shape[1]
     e_col = jax.lax.broadcasted_iota(jnp.int32, (NS, B), 0)
     l0v = l0_ref[...]
     l1v = l1_ref[...]
@@ -90,17 +101,15 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
 
     def substep(p, lt, st_m1, st_m2, best):
         t = t0 + lt
-        a0 = lt + 7 + p
-        c0w = jax.lax.slice_in_dim(c0blk, a0, a0 + NS, axis=0)
-        p0w = jax.lax.slice_in_dim(p0blk, a0, a0 + NS, axis=0)
-        a1 = 8 - lt
-        c1w = jax.lax.slice_in_dim(c1blk, a1, a1 + NS, axis=0)
+        c0w = window(c0_refs, lt + 7 + p)
+        p0w = window(p0_refs, lt + 7 + p)
+        c1w = window(c1_refs, 8 - lt)
 
         c1code = jnp.bitwise_and(c1w, 31)
         r1 = jnp.right_shift(c1w, 5)
         r0 = jnp.right_shift(c0w, 5)
         sub = jnp.full((NS, B), -4, jnp.int32)
-        for c in range(32):
+        for c in range(NCH):
             sub = jnp.where(c1code == c, p0w[:, c, :], sub)
         eqi = ((r1 == r0) & (r1 > 0)).astype(jnp.int32)
 
@@ -220,14 +229,14 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
 def _build_profile(code0: jnp.ndarray) -> jnp.ndarray:
     """P0[l, c, b] = B62_CODES[c, code0[l, b]] via fused selects."""
     planes = []
-    for c in range(32):
+    for c in range(NCH):
         acc = jnp.full(code0.shape, -4, jnp.int32)
-        for d in range(32):
+        for d in range(NCH):
             v = int(B62_CODES[c, d])
             if v != -4:
                 acc = jnp.where(code0 == d, v, acc)
         planes.append(acc)
-    return jnp.stack(planes, axis=1)      # (Lp, 32, B)
+    return jnp.stack(planes, axis=1)      # (Lp, NCH, B)
 
 
 def _encode(tok):
@@ -283,7 +292,7 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
     c1_specs = [pl.BlockSpec((BLK_T, B),
                              (lambda s: (lambda g: (kb - 2 - g + s, 0)))(s),
                              memory_space=pltpu.VMEM) for s in range(4)]
-    p0_specs = [pl.BlockSpec((BLK_T, 32, B),
+    p0_specs = [pl.BlockSpec((BLK_T, NCH, B),
                              (lambda s: (lambda g: (g + s, 0, 0)))(s),
                              memory_space=pltpu.VMEM) for s in range(4)]
 

@@ -26,3 +26,17 @@ def parse_args(argv: List[str], defaults: Dict[str, str]) -> Dict[str, str]:
             args[k[:2]] = k[2:]
         i += 1
     return args
+
+
+def apply_platform_env():
+    """Honor SWIFTORTHO_PLATFORM=cpu|tpu.  The container's sitecustomize
+    hard-selects the axon TPU backend at interpreter start, so plain
+    JAX_PLATFORMS is ignored; jax.config still wins before first use."""
+    import os
+    plat = os.environ.get('SWIFTORTHO_PLATFORM')
+    if plat:
+        import jax
+        try:
+            jax.config.update('jax_platforms', plat)
+        except RuntimeError:
+            pass

@@ -10,13 +10,14 @@ import sys
 
 from ..config import ClusterConfig
 from ..cluster.driver import find_cluster_stream
-from ._args import parse_args
+from ._args import apply_platform_env, parse_args
 
 DEFAULTS = {'-i': '', '-d': '0.5', '-p': '-10000', '-I': '1.5',
             '-a': 'apc', '-t': '2', '-b': '25000000'}
 
 
 def main(argv=None):
+    apply_platform_env()
     args = parse_args(argv or sys.argv, DEFAULTS)
     if not args['-i']:
         print('Usage: python -m swiftortho_tpu.cli.find_cluster -i foo.orth '

@@ -10,7 +10,7 @@ import sys
 
 from ..config import SearchConfig
 from ..search.blastp import blastp_to_file
-from ._args import parse_args
+from ._args import apply_platform_env, parse_args
 
 DEFAULTS = {
     '-p': 'blastp', '-v': '500', '-s': '11111111', '-i': '', '-d': '',
@@ -36,6 +36,7 @@ def manual_print():
 
 
 def main(argv=None):
+    apply_platform_env()
     args = parse_args(argv or sys.argv, DEFAULTS)
     if args['-p'] == 'makedb':
         if not args['-i']:

@@ -10,7 +10,7 @@ import sys
 
 from ..config import OrthConfig
 from ..orth.inference import find_orth_stream
-from ._args import parse_args
+from ._args import apply_platform_env, parse_args
 
 DEFAULTS = {'-i': '', '-c': '0.5', '-y': '0', '-n': 'no',
             '-t': 'n', '-a': '4', '-T': './tmp/', '-s': '|',
@@ -18,6 +18,7 @@ DEFAULTS = {'-i': '', '-c': '0.5', '-y': '0', '-n': 'no',
 
 
 def main(argv=None):
+    apply_platform_env()
     args = parse_args(argv or sys.argv, DEFAULTS)
     if not args['-i']:
         print('Usage: python -m swiftortho_tpu.cli.find_orth -i foo.sc '

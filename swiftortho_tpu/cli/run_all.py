@@ -26,7 +26,7 @@ from ..cluster.driver import find_cluster_stream
 from ..orth.inference import find_orth_stream
 from ..search.blastp import blastp_to_file
 from ..utils import fresh, log_event, stage
-from ._args import parse_args
+from ._args import apply_platform_env, parse_args
 
 DEFAULTS = {'-i': '', '-r': '', '-p': '', '-s': '1111111', '-c': '.5',
             '-y': '50', '-n': 'no', '-l': '.05', '-u': '.95', '-a': '1',
@@ -36,6 +36,7 @@ DEFAULTS = {'-i': '', '-r': '', '-p': '', '-s': '1111111', '-c': '.5',
 
 
 def main(argv=None):
+    apply_platform_env()
     args = parse_args(argv or sys.argv, DEFAULTS)
     if not args['-i']:
         print('Usage: python -m swiftortho_tpu.cli.run_all -i foo.pep.fsa '

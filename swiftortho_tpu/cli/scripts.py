@@ -10,7 +10,7 @@ from __future__ import annotations
 import sys
 
 from ..io_fasta import SeqDB, iter_fasta
-from ._args import parse_args
+from ._args import apply_platform_env, parse_args
 
 
 def cmd_pan_genome(argv):
@@ -175,6 +175,7 @@ COMMANDS = {name[4:]: fn for name, fn in list(globals().items())
 
 
 def main(argv=None):
+    apply_platform_env()
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] not in COMMANDS:
         print(__doc__)

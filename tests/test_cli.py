@@ -9,7 +9,7 @@ import pytest
 
 from swiftortho_tpu.corpus import make_corpus, write_corpus
 
-ENV = dict(os.environ, JAX_PLATFORMS='cpu',
+ENV = dict(os.environ, JAX_PLATFORMS='cpu', SWIFTORTHO_PLATFORM='cpu',
            PYTHONPATH=os.path.dirname(os.path.dirname(
                os.path.abspath(__file__))))
 

@@ -5,7 +5,7 @@
 # the full run_all, and assert non-trivial outputs.
 set -e
 cd "$(dirname "$0")/.."
-export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+export SWIFTORTHO_PLATFORM=${SWIFTORTHO_PLATFORM:-cpu}
 TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT
 

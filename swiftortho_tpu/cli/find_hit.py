@@ -33,6 +33,8 @@ def manual_print():
     print('  -F T|F filter query  -M hash buckets  -c ref chunk size')
     print('  -p makedb -i ref.fsa : persist chunk indexes (ref.fsa.N.npz)')
     print('  -D prefix : search against indexes persisted by makedb')
+    print('  -l/-u query index range; -L/-U reference index range')
+    print('  -O a : append to the output file (restartable sharded runs)')
 
 
 def main(argv=None):
@@ -61,7 +63,10 @@ def main(argv=None):
         chunk=int(args['-c']))
     out = args['-o']
     blastp_to_file(args['-i'], args['-d'], out or sys.stdout, cfg,
-                   db_prefix=args['-D'])
+                   db_prefix=args['-D'],
+                   q_start=int(args['-l']), q_end=int(args['-u']),
+                   r_start=int(args['-L']), r_end=int(args['-U']),
+                   append=args['-O'].startswith('a'))
     return 0
 
 

@@ -126,18 +126,22 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
     return out
 
 
-def make_db(ref: SeqDB, cfg: SearchConfig, out_prefix: str = '') -> list:
-    """Build (and optionally persist) all chunk indexes of a reference —
-    the reference's `-p makedb` / formatted-db role (find_hit.py:282-283,
-    fsearch.py Fasta.makedb :2283-2295)."""
+def make_db(ref: SeqDB, cfg: SearchConfig, out_prefix: str = '',
+            r_start: int = 0, r_end: int = -1) -> list:
+    """Build (and optionally persist) chunk indexes over reference
+    sequences [r_start, r_end) — the reference's `-p makedb` / formatted-db
+    role with the -L/-U range (find_hit.py:282-283, fsearch.py
+    Fasta.makedb :2283-2295)."""
     from ..ops.index import save_index
 
     alphabets = cfg.resolved_alphabets()
     chunk = cfg.effective_chunk()
     D = len(ref)
+    r_start = min(max(0, r_start), D)
+    r_end = D if r_end < 0 else min(r_end, D)
     indexes = []
-    for ci, cst in enumerate(range(0, D, chunk)):
-        ix = build_index(ref, cst, min(cst + chunk, D), alphabets,
+    for ci, cst in enumerate(range(r_start, r_end, chunk)):
+        ix = build_index(ref, cst, min(cst + chunk, r_end), alphabets,
                          cfg.seeds, cfg.nc, cfg.step,
                          threshold_override=cfg.threshold)
         if out_prefix:
@@ -158,11 +162,15 @@ def load_db(prefix: str) -> list:
 
 
 def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
-                  indexes: list | None = None) -> Iterator[str]:
-    """Yield m8 rows for all queries (index order)."""
+                  indexes: list | None = None,
+                  q_start: int = 0, q_end: int = -1) -> Iterator[str]:
+    """Yield m8 rows for queries [q_start, q_end) in index order (the
+    reference's -l/-u range, fsearch.py:2980-2981)."""
     alphabets = cfg.resolved_alphabets()
     D = len(ref)
     nq = len(qry)
+    q_start = min(max(0, q_start), nq)
+    q_end = nq if q_end < 0 else min(q_end, nq)
     maxq = int(qry.lengths.max()) if nq else 0
     pad = 1
     while pad < maxq:
@@ -176,8 +184,8 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
     if indexes is None:
         indexes = make_db(ref, cfg)
 
-    for wst in range(0, nq, cfg.query_batch):
-        wend = min(wst + cfg.query_batch, nq)
+    for wst in range(q_start, q_end, cfg.query_batch):
+        wend = min(wst + cfg.query_batch, q_end)
         idx = np.arange(wst, wend, dtype=np.int64)
         toks, lens = _mask_queries(qry, idx, pad, cfg.filter_query)
 
@@ -314,15 +322,22 @@ def _align_long_pair(q_tokens, q_lengths, ref: SeqDB, qrow: int, sid: int,
 
 def blastp_to_file(qry_path: str, ref_path: str, out: IO[str] | str,
                    cfg: SearchConfig | None = None,
-                   db_prefix: str = ''):
+                   db_prefix: str = '', q_start: int = 0, q_end: int = -1,
+                   r_start: int = 0, r_end: int = -1, append: bool = False):
     cfg = cfg or SearchConfig()
     qry = SeqDB.from_path(qry_path)
     ref = SeqDB.from_path(ref_path)
-    indexes = load_db(db_prefix) if db_prefix else None
-    fh = open(out, 'w') if isinstance(out, str) else out
+    if db_prefix:
+        indexes = load_db(db_prefix)
+    elif r_start > 0 or r_end >= 0:
+        indexes = make_db(ref, cfg, r_start=r_start, r_end=r_end)
+    else:
+        indexes = None
+    fh = open(out, 'a' if append else 'w') if isinstance(out, str) else out
     try:
         buf = []
-        for row in blastp_stream(qry, ref, cfg, indexes=indexes):
+        for row in blastp_stream(qry, ref, cfg, indexes=indexes,
+                                 q_start=q_start, q_end=q_end):
             buf.append(row)
             if len(buf) >= 10000:
                 fh.write(''.join(buf))

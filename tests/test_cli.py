@@ -97,3 +97,24 @@ class TestMakedb:
                   '-i', corpus_file, '-d', local, '-o', sc2,
                   '-M', '262144'])
         assert open(sc).read() == open(sc2).read()
+
+
+class TestRanges:
+    def test_query_range_and_append(self, corpus_file, tmp_path):
+        full = str(tmp_path / 'full.sc')
+        r = _run(['swiftortho_tpu.cli.find_hit', '-p', 'blastp',
+                  '-i', corpus_file, '-d', corpus_file, '-o', full,
+                  '-M', '262144'])
+        assert r.returncode == 0
+        nq = sum(1 for l in open(corpus_file) if l.startswith('>'))
+        part = str(tmp_path / 'part.sc')
+        # two ranges appended = full output (the reference's restartable
+        # fan-out, find_hit.py:115-146)
+        half = nq // 2
+        for lo, hi, mode in ((0, half, 'w'), (half, -1, 'a')):
+            r = _run(['swiftortho_tpu.cli.find_hit', '-p', 'blastp',
+                      '-i', corpus_file, '-d', corpus_file, '-o', part,
+                      '-M', '262144', '-l', str(lo), '-u', str(hi),
+                      '-O', mode])
+            assert r.returncode == 0, r.stderr[-400:]
+        assert open(part).read() == open(full).read()

@@ -61,9 +61,9 @@ class OrthConfig:
 @dataclass
 class ClusterConfig:
     """Graph clustering (reference find_cluster.py defaults, :95-110)."""
-    algorithm: str = 'mcl'        # -a mcl|apc
+    algorithm: str = 'apc'        # -a (reference default, find_cluster.py:96)
     inflation: float = 1.5        # -I
-    damping: float = 0.62         # -d (apc)
+    damping: float = 0.5          # -d (apc)
     prune: float = 1e-5           # MCL weak-edge prune
     component_batch: int = 10**7  # -b max edges per MCL sub-problem
     max_dense: int = 4096         # dense-MCL component size cap (ours)

@@ -20,18 +20,22 @@ import numpy as np
 
 
 def iter_fasta(fh: io.TextIOBase) -> Iterator[Tuple[str, str]]:
-    """Yield (header, sequence) pairs; header excludes the leading '>'."""
+    """Yield (header, sequence) pairs; header excludes the leading '>'.
+
+    Records with empty sequences are kept (the reference's index-based
+    Fasta numbers every '>' header, fsearch.py:2180-2199, and sequence
+    indices in the m8 output and -l/-u ranges must match it)."""
     head = None
     chunks: List[str] = []
     for line in fh:
         if line.startswith('>'):
-            if head is not None and chunks:
+            if head is not None:
                 yield head, ''.join(chunks)
             head = line[1:].rstrip('\n')
             chunks = []
         else:
             chunks.append(line.strip())
-    if head is not None and chunks:
+    if head is not None:
         yield head, ''.join(chunks)
 
 

@@ -38,7 +38,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import B62_BYTES, GAP_EXTEND, GAP_OPEN, KBOUND
+from ..constants import (B62_BYTES, GAP_EXTEND, GAP_OPEN, KA_GAPPED_LAMBDA,
+                         KA_GAPPED_LNK, KBOUND, LN2)
 from .stats import score2bit
 
 _STAR, _DIAG, _DASH, _PIPE = 0, 1, 2, 3
@@ -430,7 +431,7 @@ def postprocess_batch(best: dict, qst: np.ndarray, sst: np.ndarray,
         'gap': np.asarray(best['gap']),
         'qst': q_lo + qst, 'qed': q_hi + qst,
         'sst': s_lo + sst, 'sed': s_hi + sst,
-        'bit': np.trunc((0.267 * score + 3.1941832122778293)
-                        / 0.69314718055994529).astype(np.int64),
+        'bit': np.trunc((KA_GAPPED_LAMBDA * score - KA_GAPPED_LNK)
+                        / LN2).astype(np.int64),
         'score': score,
     }

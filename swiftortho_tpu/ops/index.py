@@ -55,8 +55,15 @@ class SeedIndex:
         return self.start[buckets + 1] - self.start[buckets]
 
     def decode_locus(self, loc: np.ndarray):
-        """global residue offset -> (global sequence id, in-seq position)."""
-        idx = np.searchsorted(self.soas, loc, side='right') - 1
+        """global residue offset -> (global sequence id, in-seq position).
+
+        Reproduces the reference's bisect exactly (fsearch.py:134-153 via
+        get_loc_mem :2511-2514): it returns the largest index with
+        soas[idx] < loc, so a *position-0* seed of sequence j (loc ==
+        soas[j]) is attributed to sequence j-1 at position len(j-1) — a
+        reference off-by-one that shifts one seed per sequence onto the
+        previous subject; faithful because it changes candidate sets."""
+        idx = np.maximum(np.searchsorted(self.soas, loc, side='left') - 1, 0)
         return idx + self.seq_offset, loc - self.soas[idx]
 
 

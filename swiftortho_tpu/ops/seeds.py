@@ -73,11 +73,21 @@ def hash_seeds_flat(tokens: np.ndarray, seq_of: np.ndarray,
 
     all_b: List[np.ndarray] = []
     all_p: List[np.ndarray] = []
+    # per-sequence window stride (the reference strides from position 0 of
+    # each sequence, fsearch.py:534): seq_start[p] = first flat index of
+    # p's sequence
+    if step > 1:
+        change = np.ones(T, dtype=bool)
+        change[1:] = seq_of[1:] != seq_of[:-1]
+        starts_flat = np.maximum.accumulate(
+            np.where(change, np.arange(T, dtype=np.int64), 0))
     for s, (klen, ones) in enumerate(parse_patterns(ssps)):
         n = T - klen + 1
         if n <= 0:
             continue
-        pos = np.arange(0, n, step, dtype=np.int64)
+        pos = np.arange(0, n, dtype=np.int64)
+        if step > 1:
+            pos = pos[(pos - starts_flat[pos]) % step == 0]
         # windows fully inside one sequence
         ok = seq_of[pos] == seq_of[pos + klen - 1]
         # windows without any masked residue (checks all klen positions,

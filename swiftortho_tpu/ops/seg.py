@@ -91,13 +91,17 @@ def seg_string(S: str, minent: float = SEG_MIN_ENT,
 # Batched JAX implementation
 # ---------------------------------------------------------------------------
 
-_NBINS = 32
+_NBINS = 64
 
 
 def _tok_bins(tok_u: jnp.ndarray) -> jnp.ndarray:
-    """Map uppercased bytes to one of 32 bins: A..Z -> 1..26, other -> 27+b%5."""
+    """Map uppercased bytes to one of 64 bins: A..Z -> 1..26, other ->
+    27 + b % 37.  Distinct non-letter bytes collide only when congruent
+    mod 37 and both non-alphabetic (e.g. '7' vs backslash) — beyond any
+    realistic protein alphabet; letters never collide."""
     is_alpha = (tok_u >= 65) & (tok_u <= 90)
-    return jnp.where(is_alpha, tok_u - 64, 27 + (tok_u % 5)).astype(jnp.int32)
+    return jnp.where(is_alpha, tok_u - 64,
+                     27 + (tok_u % 37)).astype(jnp.int32)
 
 
 def _gent(c: jnp.ndarray, denom) -> jnp.ndarray:

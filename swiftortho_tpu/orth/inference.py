@@ -45,6 +45,7 @@ def parse_sc_rows(lines: Iterable[str], cfg: OrthConfig
     order: List[str] = []
     flag = None
     mbsc: Dict[str, float] = {}
+    len_dict: Dict[str, float] = {}
     for line in lines:
         f = line.rstrip('\n').split('\t')
         if len(f) < 12:
@@ -65,7 +66,11 @@ def parse_sc_rows(lines: Iterable[str], cfg: OrthConfig
             except ValueError:
                 continue
         else:
-            qln = max(qst, qed)
+            # 12-col m8 input: the reference caches the first-seen value
+            # per query (find_orth.py:187-192)
+            if qid not in len_dict:
+                len_dict[qid] = max(qst, qed)
+            qln = len_dict[qid]
         qcv = (1.0 + abs(qed - qst)) / qln
         if qcv < cfg.coverage or idy < cfg.identity:
             continue

@@ -74,9 +74,9 @@ def sharded_search_step(mesh: Mesh):
     def step(q_tokens, q_lens, t0, t1, l0, l1, pair_query, nq: int):
         masked = seg_batch.__wrapped__(q_tokens, q_lens)
         best = sw_align_batch.__wrapped__(t0, t1, l0, l1)
-        bits = jnp.trunc((0.267 * best['score'].astype(jnp.float32)
-                          + 3.1941832122778293)
-                         / 0.69314718055994529).astype(jnp.int32)
+        from ..constants import KA_GAPPED_LAMBDA, KA_GAPPED_LNK, LN2
+        bits = jnp.trunc((KA_GAPPED_LAMBDA * best['score'].astype(jnp.float32)
+                          - KA_GAPPED_LNK) / LN2).astype(jnp.int32)
         # per-query max bit via segment max over the (gathered) pair axis;
         # jit+sharding inserts the all-gather/reduce over 'db' and 'data'
         merged = jnp.full((nq,), -1, jnp.int32).at[pair_query].max(bits)

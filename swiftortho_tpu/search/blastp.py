@@ -66,7 +66,7 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
     pad_need = np.maximum(col_len, row_len)
 
     out = {k: np.zeros(n, dtype=np.int64)
-           for k in ('idy_n', 'aln', 'mis', 'gap', 'qst', 'qed', 'sst',
+           for k in ('aln', 'mis', 'gap', 'qst', 'qed', 'sst',
                      'sed', 'score')}
     out['idy'] = np.zeros(n, dtype=np.float64)
     out['bit'] = np.zeros(n, dtype=np.int64)
@@ -170,7 +170,10 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
     D = len(ref)
     nq = len(qry)
     q_start = min(max(0, q_start), nq)
-    q_end = nq if q_end < 0 else min(q_end, nq)
+    # the reference defaults the end to the REFERENCE-set size clamped to
+    # the query count (fsearch.py:2980-2981) — queries beyond len(ref) are
+    # silently skipped when no -u is given
+    q_end = min(D, nq) if q_end < 0 else min(q_end, nq)
     maxq = int(qry.lengths.max()) if nq else 0
     pad = 1
     while pad < maxq:

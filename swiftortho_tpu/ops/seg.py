@@ -167,3 +167,66 @@ def seg_batch_np(tokens: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         e, _ = seg_string(s)
         out[r, :n] = np.frombuffer(e.encode('latin-1'), dtype=np.uint8)
     return out
+
+
+def seg_batch_vec(tokens: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized numpy implementation of seg_batch (same outputs).
+
+    The host search driver uses this: the JAX version's per-residue
+    expansion scan is pathologically slow through the axon dispatch path,
+    while here only the 12-residue countdown runs as a python loop over L
+    with (B,)-vector steps.
+    """
+    B, L = tokens.shape
+    w = SEG_WINDOW
+    tok_u = np.where((tokens >= 97) & (tokens <= 122),
+                     tokens - 32, tokens).astype(np.uint8)
+    lengths = lengths.astype(np.int64)
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    valid = pos < lengths[:, None]
+    t = tok_u.astype(np.int64)
+    is_alpha = (t >= 65) & (t <= 90)
+    bins = np.where(is_alpha, t - 64, 27 + (t % 37))
+    bins = np.where(valid, bins, _NBINS - 1)
+
+    n = lengths
+    nwin = L - w + 1
+    ent = np.zeros((B, L), dtype=np.float64)
+    ent_whole = np.zeros(B, dtype=np.float64)
+    denom_whole = np.maximum(n.astype(np.float64), 1.0)
+
+    def gent(c, denom):
+        f = c / denom
+        with np.errstate(divide='ignore', invalid='ignore'):
+            v = -f * np.log2(np.where(c > 0, f, 1.0))
+        return np.where(c > 0, v, 0.0)
+
+    for b in range(_NBINS):
+        oh = ((bins == b) & valid).astype(np.int64)
+        cs0 = np.zeros((B, L + 1), dtype=np.int64)
+        np.cumsum(oh, axis=1, out=cs0[:, 1:])
+        if nwin > 0:
+            ci = cs0[:, w:] - cs0[:, :-w]
+            c0 = cs0[:, w][:, None]
+            ent[:, :nwin] += gent(c0 + ci, float(w))
+        ent_whole += gent(2 * cs0[:, -1], denom_whole)
+
+    if nwin > 0:
+        mask = (ent < SEG_MIN_ENT) & (pos <= (n - w)[:, None]) \
+            & (n[:, None] >= w)
+    else:
+        mask = np.zeros((B, L), dtype=bool)
+    mask |= (n < w)[:, None] & (ent_whole < SEG_MIN_ENT)[:, None] & valid
+    nws = np.maximum(n - w, 0)
+    tail_bit = np.take_along_axis(mask, nws[:, None], axis=1)
+    mask |= tail_bit & (pos >= nws[:, None]) & (n[:, None] >= w) & valid
+
+    x_out = np.zeros((B, L), dtype=bool)
+    cd = np.zeros(B, dtype=np.int64)
+    for p in range(L):
+        m = mask[:, p]
+        is_x = (cd > 0) | m
+        x_out[:, p] = is_x
+        cd = np.where(cd > 0, cd - 1, np.where(m, w - 1, 0))
+    x_out &= valid
+    return np.where(x_out, np.uint8(_X), tok_u)

@@ -33,7 +33,7 @@ from ..constants import LONG_SEQ_TILE
 from ..io_fasta import SeqDB
 from ..ops.banded_sw import postprocess_batch, sw_align_auto
 from ..ops.index import build_index
-from ..ops.seg import seg_batch
+from ..ops.seg import seg_batch_vec
 from ..ops.stats import f2s
 from .candidates import Candidates, generate_candidates
 
@@ -47,7 +47,7 @@ def _fmt_idy(idy: float) -> str:
 def _mask_queries(qry: SeqDB, idx: np.ndarray, pad: int, flt: bool):
     toks, lens = qry.padded_batch(idx, pad)
     if flt:
-        toks = np.asarray(seg_batch(toks, lens))
+        toks = seg_batch_vec(toks, lens)
     return toks, lens
 
 

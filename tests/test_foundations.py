@@ -156,3 +156,25 @@ class TestSeg:
         for r in range(B):
             assert bytes(got[r, :lens[r]]) == bytes(want[r, :lens[r]]), \
                 f'row {r}: {bytes(toks[r, :lens[r]])}'
+
+
+class TestSegVec:
+    @pytest.mark.parametrize('case', ['lowc', 'rand', 'short'])
+    def test_vec_matches_oracle(self, rng, case):
+        from swiftortho_tpu.ops.seg import seg_batch_vec
+        B, L = 8, 96
+        toks = np.zeros((B, L), dtype=np.uint8)
+        lens = np.zeros(B, dtype=np.int32)
+        for r in range(B):
+            n = int(rng.integers(1, 14)) if case == 'short' \
+                else int(rng.integers(13, L))
+            if case == 'lowc':
+                s = ''.join(rng.choice(list('AP'), n))
+            else:
+                s = ''.join(AA[i] for i in rng.integers(0, 20, n))
+            toks[r, :n] = np.frombuffer(s.encode(), dtype=np.uint8)
+            lens[r] = n
+        want = seg_batch_np(toks, lens)
+        got = seg_batch_vec(toks, lens)
+        for r in range(B):
+            assert bytes(got[r, :lens[r]]) == bytes(want[r, :lens[r]])

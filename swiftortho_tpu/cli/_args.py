@@ -29,9 +29,10 @@ def parse_args(argv: List[str], defaults: Dict[str, str]) -> Dict[str, str]:
 
 
 def apply_platform_env():
-    """Honor SWIFTORTHO_PLATFORM=cpu|tpu.  The container's sitecustomize
-    hard-selects the axon TPU backend at interpreter start, so plain
-    JAX_PLATFORMS is ignored; jax.config still wins before first use."""
+    """Honor SWIFTORTHO_PLATFORM=cpu|tpu and enable the persistent
+    compilation cache.  The container's sitecustomize hard-selects the
+    axon TPU backend at interpreter start, so plain JAX_PLATFORMS is
+    ignored; jax.config still wins before first use."""
     import os
     plat = os.environ.get('SWIFTORTHO_PLATFORM')
     if plat:
@@ -39,4 +40,15 @@ def apply_platform_env():
         try:
             jax.config.update('jax_platforms', plat)
         except RuntimeError:
+            pass
+    cache = os.environ.get('SWIFTORTHO_JAX_CACHE',
+                           os.path.expanduser('~/.cache/swiftortho_jax'))
+    if cache and cache != '0':
+        import jax
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update('jax_compilation_cache_dir', cache)
+            jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)
+        except Exception:
             pass

@@ -47,6 +47,14 @@ class SeedIndex:
     seq_offset: int            # global id of first sequence in chunk
     threshold: int             # mu + 2 sd bucket-count gate
     mink: int                  # shortest pattern length
+    sid: np.ndarray = None     # (n_postings,) int32 decoded global seq ids
+    sst: np.ndarray = None     # (n_postings,) int32 decoded in-seq positions
+
+    def __post_init__(self):
+        if self.sid is None:
+            self.sid, self.sst = self.decode_locus(self.locus)
+            self.sid = self.sid.astype(np.int32)
+            self.sst = self.sst.astype(np.int32)
 
     def posting_range(self, buckets: np.ndarray):
         return self.start[buckets], self.start[buckets + 1]
@@ -62,7 +70,8 @@ class SeedIndex:
         soas[idx] < loc, so a *position-0* seed of sequence j (loc ==
         soas[j]) is attributed to sequence j-1 at position len(j-1) — a
         reference off-by-one that shifts one seed per sequence onto the
-        previous subject; faithful because it changes candidate sets."""
+        previous subject; faithful because it changes candidate sets.
+        Postings are pre-decoded once at build/load time (sid/sst)."""
         idx = np.maximum(np.searchsorted(self.soas, loc, side='left') - 1, 0)
         return idx + self.seq_offset, loc - self.soas[idx]
 

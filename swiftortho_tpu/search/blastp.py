@@ -216,36 +216,51 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         cut = rank < vmax
         qrow, subj, csc, bq, bs = (qrow[cut], subj[cut], csc[cut],
                                    bq[cut], bs[cut])
+        rank = rank[cut]
 
         # long-pair split: either side >= 4096 goes to the tiled path
         lq_all = lens[qrow].astype(np.int64)
         ls_all = (ref.offsets[subj + 1] - ref.offsets[subj]).astype(np.int64)
         is_long = (lq_all >= LONG_SEQ_TILE) | (ls_all >= LONG_SEQ_TILE)
-
-        res = _align_pairs(toks, lens, ref, qrow[~is_long], subj[~is_long],
-                           bq[~is_long], bs[~is_long], cfg.align_buckets)
         n_pairs = len(qrow)
-        full = {k: np.zeros(n_pairs, dtype=res[k].dtype) for k in res}
-        for k in res:
-            full[k][~is_long] = res[k]
 
-        # tiled long pairs: one row list per pair
+        # Staged alignment: the reference's sequential loop stops after
+        # mmiss (<=120) consecutive misses, so most queries never look past
+        # their first ~stage-1 candidates; align those first and only
+        # align the tail for queries whose stop condition is unresolved.
+        STAGE1 = 160
+        aligned = np.zeros(n_pairs, dtype=bool)
+        full = {k: np.zeros(n_pairs, dtype=np.int64)
+                for k in ('aln', 'mis', 'gap', 'qst', 'qed', 'sst', 'sed',
+                          'score', 'bit')}
+        full['idy'] = np.zeros(n_pairs, dtype=np.float64)
+
+        def align_subset(mask):
+            mask = mask & ~is_long & ~aligned
+            sel_idx = np.flatnonzero(mask)
+            if len(sel_idx) == 0:
+                return
+            res = _align_pairs(toks, lens, ref, qrow[sel_idx],
+                               subj[sel_idx], bq[sel_idx], bs[sel_idx],
+                               cfg.align_buckets)
+            for k in res:
+                full[k][sel_idx] = res[k]
+            aligned[sel_idx] = True
+
+        align_subset(rank < STAGE1)
+
+        # tiled long pairs: one row list per pair (rare)
         long_rows = {}
         for p in np.flatnonzero(is_long):
             long_rows[p] = _align_long_pair(
                 toks, lens, ref, int(qrow[p]), int(subj[p]),
                 int(bq[p]), int(bs[p]))
 
-        # --- per-query policy + output (qrow is sorted) ---
-        q_lo = np.searchsorted(qrow, np.arange(wend - wst))
-        q_hi = np.searchsorted(qrow, np.arange(wend - wst), side='right')
-        for r in range(wend - wst):
-            sel = np.arange(q_lo[r], q_hi[r])
-            if len(sel) == 0:
-                continue
-            gi = wst + r
+        def policy_rows(sel, r):
+            """Run the reference's sequential accept/stop loop; returns
+            (rows, resolved) — unresolved when an unaligned candidate is
+            reached before the stop condition triggers."""
             qlen = int(lens[r])
-            hid = qry.ids[gi]
             nhits = int(nhits_of[r])
             mmiss = nhits * cfg.max_miss + 1
             mmiss = max(mmiss, 100.0 / mmiss)
@@ -257,6 +272,8 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                 j = int(subj[p])
                 slen = int(ls_all[p])
                 if not is_long[p]:
+                    if not aligned[p]:
+                        return rows, False
                     bit = int(full['bit'][p])
                     e = D * qlen * slen * (2.0 ** -bit)
                     if e <= cfg.expect:
@@ -289,7 +306,32 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                         unmch += 1
                 if unmch >= mmiss or bv >= cfg.v + mmiss:
                     break
+            return rows, True
 
+        # --- per-query policy + output (qrow is sorted) ---
+        q_lo = np.searchsorted(qrow, np.arange(wend - wst))
+        q_hi = np.searchsorted(qrow, np.arange(wend - wst), side='right')
+        need_more = []
+        for r in range(wend - wst):
+            if q_lo[r] == q_hi[r]:
+                continue
+            _, ok = policy_rows(np.arange(q_lo[r], q_hi[r]), r)
+            if not ok:
+                need_more.append(r)
+        if need_more:
+            tail_mask = np.zeros(n_pairs, dtype=bool)
+            for r in need_more:
+                tail_mask[q_lo[r]:q_hi[r]] = True
+            align_subset(tail_mask)
+
+        for r in range(wend - wst):
+            if q_lo[r] == q_hi[r]:
+                continue
+            rows, ok = policy_rows(np.arange(q_lo[r], q_hi[r]), r)
+            assert ok, 'policy unresolved after full alignment'
+            gi = wst + r
+            qlen = int(lens[r])
+            hid = qry.ids[gi]
             rows.sort(key=lambda x: -x[9])
             for row in rows[:max(0, cfg.v)]:
                 (idy, aln, mis, gap, qst1, qed, sst1, sed,

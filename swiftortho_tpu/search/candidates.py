@@ -164,15 +164,23 @@ def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
     excl = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=excl[1:])
     within = np.arange(total, dtype=np.int64) - excl[seed_of]
-    loc = index.locus[starts[seed_of] + within]
-    sid, sst = index.decode_locus(loc)
+    slot = starts[seed_of] + within
+    sid = index.sid[slot].astype(np.int64)
+    sst = index.sst[slot].astype(np.int64)
     p_qrow = rows[seed_of]
     p_qst = qst[seed_of]
 
     # ---- exact-diagonal grouping + dedup ----
     diag = p_qst - sst
-    # pack (qrow, sid, diag, qst) into a sortable structured order
-    order = np.lexsort((p_qst, diag, sid, p_qrow))
+    # single packed sort key: (qrow, sid, diag+8192, qst) — bounds:
+    # qrow < 2^13 (driver batch size), sid < 2^21, |diag| < 2^13,
+    # qst < 2^13 (padded query length); lexsort fallback otherwise
+    if (len(sid) and sid.max() < (1 << 21) and p_qrow.max() < (1 << 13)
+            and q_tokens.shape[1] <= (1 << 13)):
+        key = (((p_qrow << 21) | sid) << 14 | (diag + 8192)) << 13 | p_qst
+        order = np.argsort(key, kind='stable')
+    else:
+        order = np.lexsort((p_qst, diag, sid, p_qrow))
     p_qrow, sid, diag, p_qst, sst = (p_qrow[order], sid[order], diag[order],
                                      p_qst[order], sst[order])
     same = np.zeros(total, dtype=bool)

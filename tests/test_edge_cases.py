@@ -60,3 +60,20 @@ class TestDegenerateDownstream:
         out = list(find_cluster_stream(['a|1\tb|1\t2.0\n'],
                                        ClusterConfig(algorithm='mcl')))
         assert out == ['a|1\tb|1\n']
+
+
+class TestLongSequences:
+    def test_tiled_long_pair_path(self, rng):
+        # a >4096-residue pair goes through the 4096-tile path
+        # (reference kswat_st_long, fsearch.py:1480-1498)
+        base = ''.join('ACDEFGHIKLMNPQRSTVWY'[i]
+                       for i in rng.integers(0, 20, 4500))
+        db = SeqDB.from_records([('t|long', base), ('u|long', base)])
+        cfg = SearchConfig(nc=1 << 18, query_batch=4)
+        rows = list(blastp_stream(db, db, cfg))
+        # self-hits tile into at least two rows each (4500 = 4096 + tail)
+        own = [r for r in rows if r.split('\t')[0] == r.split('\t')[1]]
+        assert len(own) >= 4
+        for r in rows:
+            f = r.split('\t')
+            assert int(f[7]) <= 4500 and int(f[9]) <= 4500

@@ -59,6 +59,11 @@ def load() -> ctypes.CDLL:
             i64p, i64p, i64p, i64p, i64p, i64p,
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int32, i64p]
         lib.chain_scores.restype = None
+        lib.gather_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), i64p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.gather_rows.restype = None
         _lib = lib
         return _lib
 
@@ -121,3 +126,18 @@ def chain_scores_native(q_tokens: np.ndarray, db_tokens: np.ndarray,
         _SUB.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         xdrop, out.ctypes.data_as(i64p))
     return out
+
+
+def gather_rows_native(src: np.ndarray, starts: np.ndarray,
+                       counts: np.ndarray, row_idx: np.ndarray,
+                       dst: np.ndarray):
+    """dst[row_idx[i], :counts[i]] = src[starts[i]:...]; zero tails."""
+    lib = load()
+    src = np.ascontiguousarray(src.reshape(-1), np.uint8)
+    a = [np.ascontiguousarray(x, np.int64) for x in (starts, counts, row_idx)]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gather_rows(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        a[0].ctypes.data_as(i64p), a[1].ctypes.data_as(i64p),
+        a[2].ctypes.data_as(i64p), len(a[0]), dst.shape[1],
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))

@@ -179,3 +179,39 @@ void sw_align_batch(const uint8_t* tok0, const uint8_t* tok1,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fill padded pair rows: dst[row_idx[i], 0:counts[i]] = src[starts[i]:...],
+// zeroing the tail. Threaded; used by the search driver's batch prep.
+void gather_rows(const uint8_t* src, const int64_t* starts,
+                 const int64_t* counts, const int64_t* row_idx,
+                 int64_t n_rows, int64_t pad, uint8_t* dst) {
+    unsigned nt = std::thread::hardware_concurrency();
+    if (const char* env = getenv("SWNATIVE_THREADS")) {
+        int v = atoi(env);
+        if (v > 0) nt = v;
+    }
+    if (nt < 1) nt = 1;
+    if ((int64_t)nt > n_rows) nt = n_rows > 0 ? n_rows : 1;
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            uint8_t* d = dst + row_idx[i] * pad;
+            int64_t c = counts[i];
+            if (c > pad) c = pad;
+            memcpy(d, src + starts[i], c);
+            memset(d + c, 0, pad - c);
+        }
+    };
+    if (nt == 1) { work(0, n_rows); return; }
+    std::vector<std::thread> threads;
+    int64_t step = (n_rows + nt - 1) / nt;
+    for (unsigned t = 0; t < nt; ++t) {
+        int64_t lo = t * step, hi = std::min<int64_t>(n_rows, lo + step);
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -88,33 +88,25 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
         q_n = np.minimum(sufq[sel], bucket).astype(np.int64)
         s_n = np.minimum(sufs[sel], bucket).astype(np.int64)
         sw = swapped[sel]
-        t0 = np.zeros((B, bucket), np.uint8)
-        t1 = np.zeros((B, bucket), np.uint8)
+        t0 = np.empty((B, bucket), np.uint8)
+        t1 = np.empty((B, bucket), np.uint8)
 
-        def scatter(dst, rows_mask, starts, counts, src_flat, src2d_rows):
-            rows = np.flatnonzero(rows_mask)
-            if len(rows) == 0:
-                return
-            cnt = counts[rows]
-            tot = int(cnt.sum())
-            if tot == 0:
-                return
-            rr = np.repeat(rows, cnt)
-            excl = np.zeros(len(rows) + 1, np.int64)
-            np.cumsum(cnt, out=excl[1:])
-            cc = np.arange(tot, dtype=np.int64) - np.repeat(excl[:-1], cnt)
-            if src_flat is not None:
-                dst[rr, cc] = src_flat[np.repeat(starts[rows], cnt) + cc]
-            else:
-                dst[rr, cc] = q_tokens[np.repeat(src2d_rows[rows], cnt),
-                                       np.repeat(starts[rows], cnt) + cc]
-
+        from ..native import gather_rows_native
         qr = qrow[sel]
+        q_flat_st = qr * L + q_st          # q_tokens rows, flattened
+        all_rows = np.arange(B, dtype=np.int64)
+
+        def fill(dst, rows_mask, src, starts, counts):
+            rows = all_rows[rows_mask]
+            if len(rows):
+                gather_rows_native(src, starts[rows_mask],
+                                   counts[rows_mask], rows, dst)
+
         # columns (t0): query unless swapped; rows (t1): the other one
-        scatter(t0, ~sw, q_st, q_n, None, qr)
-        scatter(t0, sw, s_st, s_n, db.tokens, None)
-        scatter(t1, sw, q_st, q_n, None, qr)
-        scatter(t1, ~sw, s_st, s_n, db.tokens, None)
+        fill(t0, ~sw, q_tokens, q_flat_st, q_n)
+        fill(t0, sw, db.tokens, s_st, s_n)
+        fill(t1, sw, q_tokens, q_flat_st, q_n)
+        fill(t1, ~sw, db.tokens, s_st, s_n)
         l0 = np.where(sw, s_n, q_n).astype(np.int32)
         l1 = np.where(sw, q_n, s_n).astype(np.int32)
         best = sw_align_auto(t0, t1, l0, l1)
@@ -187,15 +179,22 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
     if indexes is None:
         indexes = make_db(ref, cfg)
 
+    import time as _time
+
+    from ..utils import log_event
+
     for wst in range(q_start, q_end, cfg.query_batch):
+        _t0 = _time.time()
         wend = min(wst + cfg.query_batch, q_end)
         idx = np.arange(wst, wend, dtype=np.int64)
         toks, lens = _mask_queries(qry, idx, pad, cfg.filter_query)
+        _t_seg = _time.time()
 
         cands: List[Candidates] = []
         for index in indexes:
             cands.append(generate_candidates(toks, lens, ref, index,
                                              alphabets, cfg.seeds))
+        _t_cand = _time.time()
 
         qrow = np.concatenate([c.qrow for c in cands])
         subj = np.concatenate([c.subject for c in cands])
@@ -247,7 +246,9 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                 full[k][sel_idx] = res[k]
             aligned[sel_idx] = True
 
+        _t_prep = _time.time()
         align_subset(rank < STAGE1)
+        _t_align1 = _time.time()
 
         # tiled long pairs: one row list per pair (rare)
         long_rows = {}
@@ -324,6 +325,14 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                 tail_mask[q_lo[r]:q_hi[r]] = True
             align_subset(tail_mask)
 
+        _t_align2 = _time.time()
+        log_event('search_wave', wave=int(wst), queries=int(wend - wst),
+                  pairs=int(n_pairs),
+                  seg_s=round(_t_seg - _t0, 2),
+                  cand_s=round(_t_cand - _t_seg, 2),
+                  rank_s=round(_t_prep - _t_cand, 2),
+                  align1_s=round(_t_align1 - _t_prep, 2),
+                  policy_s=round(_t_align2 - _t_align1, 2))
         for r in range(wend - wst):
             if q_lo[r] == q_hi[r]:
                 continue

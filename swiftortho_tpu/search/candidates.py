@@ -303,7 +303,18 @@ def _finish_candidates(g_qrow, g_sid, g_diag, totalsc) -> Candidates:
         return Candidates(z, z, z, z, z)
     # keep max score per (qrow, subject); reference keeps the first
     # encountered on ties (dict iteration) — we keep the smallest diagonal
-    order = np.lexsort((g_diag, -totalsc, g_sid, g_qrow))
+    cap = np.int64(1 << 17)
+    if (g_sid.max() < (1 << 21) and g_qrow.max() < (1 << 13)
+            and totalsc.max() < cap):
+        # packed 62-bit key: (qrow:13, sid:21, score-desc:17, diag:11);
+        # the diag component only breaks score ties (folded to 11 bits —
+        # any deterministic tie-break is valid here, the reference's own
+        # dict-iteration order is not reproducible)
+        key = ((((g_qrow << 21) | g_sid) << 17) | (cap - 1 - totalsc)
+               ) << 11 | ((g_diag + 8192) & 0x7FF)
+        order = np.argsort(key, kind='stable')
+    else:
+        order = np.lexsort((g_diag, -totalsc, g_sid, g_qrow))
     g_qrow, g_sid, g_diag, totalsc = (g_qrow[order], g_sid[order],
                                       g_diag[order], totalsc[order])
     first = np.ones(len(g_qrow), dtype=bool)

@@ -76,15 +76,17 @@ class GoDag:
 
 
 def goterm_profile(annot_lines: Iterable[str], type_of: Dict[str, str],
-                   dag: GoDag) -> Iterator[str]:
+                   dag: GoDag, default: str | None = None) -> Iterator[str]:
     """Crosstab rows: 'GOterm\\tfunction\\t<count per pan type>'."""
+    if default is None:
+        default = getattr(type_of, 'default_type', 'unknown')
     outputs: Dict[Tuple[str, str], Dict[str, int]] = {}
     all_types = set()
     visit = set()
     for line in annot_lines:
         goids = _GO.findall(line)
         qid = line.rstrip('\n').split('\t')[0]
-        gtype = type_of.get(qid, 'unknown')
+        gtype = type_of.get(qid, default)
         all_types.add(gtype)
         for goid in goids:
             if (qid, goid) in visit:
@@ -104,9 +106,24 @@ def goterm_profile(annot_lines: Iterable[str], type_of: Dict[str, str],
         yield '\t'.join(key) + '\t' + '\t'.join(counts) + '\n'
 
 
+class TypeMap(dict):
+    """gene -> pan type; `default_type` covers genes absent from the
+    .clsr (pan_genome's trailing singleton rows name no genes, so their
+    members cannot appear in the map — they are 'Specific' by
+    construction, reference pan_genome.py:169)."""
+
+    default_type = 'unknown'
+
+
 def pan_type_map(pan_lines: Iterable[str],
                  clsr_lines: Iterable[str]) -> Dict[str, str]:
-    """gene -> pan category, joining the .pan table with the .clsr rows."""
+    """gene -> pan category, joining the .pan table with the .clsr rows.
+
+    .pan group rows are emitted in .clsr line order, followed by one
+    singleton row per unclustered gene (build_matrix). Rows past
+    len(clsr) are those singletons; their type becomes default_type for
+    genes the map cannot name.
+    """
     types = []
     for line in pan_lines:
         if line.startswith('#'):
@@ -114,8 +131,12 @@ def pan_type_map(pan_lines: Iterable[str],
         f = line.rstrip('\n').split('\t', 2)
         if len(f) >= 2 and f[0].startswith('group_'):
             types.append(f[1])
-    out: Dict[str, str] = {}
+    out = TypeMap()
+    n = 0
     for typ, row in zip(types, clsr_lines):
+        n += 1
         for g in row.rstrip('\n').split('\t'):
             out[g] = typ
+    if len(types) > n:   # trailing singleton rows (all 'Specific')
+        out.default_type = types[n]
     return out

@@ -1,13 +1,19 @@
 """Density-peaks clustering (Rodriguez & Laio) over an xyz edge list.
 
 Behavioral contract: reference scripts/fsfdp.py (experimental in the
-reference): z column treated as a *distance*; dc = the (2% * n_edges)-th
-largest distance (:33-58); Gaussian density rho[x] += exp(-(z/dc)^2) per
-incident edge; delta[x] = min distance to a higher-density neighbor along
-an edge, nn[x] = that neighbor; the global density peak gets
-delta = max(delta); centers = nodes with rho > mean(rho) and
-delta > sd(delta); members are assigned by flooding the reversed
-nearest-higher-neighbor forest from each center (:148-209).
+reference): z column treated as a *distance*; dc comes from
+`len(d) < di and d[-di] or d[-1]` (:58) which, since d holds all N edge
+distances and di = 0.02*N, always takes d[-1] — the MAXIMUM distance;
+Gaussian density rho[x] += exp(-(z/dc)^2) per incident edge; delta[x] =
+min distance to a higher-density neighbor along an edge, nn[x] = that
+neighbor; the global density peak gets delta = max(delta); centers =
+nodes with rho > mean(rho) and delta > sd(delta), where sd() runs over
+only the delta-dict members (nodes that HAVE a higher-rho neighbor, plus
+the global peak — component-local peaks are excluded, :145-146); members
+are assigned by flooding the reversed nearest-higher-neighbor forest
+from each center (:148-209). Deviations (guarded reference crashes):
+dc == 0 would ZeroDivisionError (:68) -> we use 1.0; an all-equal-rho
+input would ValueError on max(delta.values()) (:113) -> mx_delta = 1.0.
 
 Vectorized numpy implementation.
 """
@@ -42,15 +48,18 @@ def fsfdp_cluster(lines: Iterable[str]) -> Dict[str, int]:
     z = np.asarray(w)
     m = len(z)
 
-    di = max(int(0.02 * m), 1)
-    zs = np.sort(z)
-    dc = zs[-di] if di <= m else zs[-1]
+    # reference :58: `len(d) < di and d[-di] or d[-1]` with len(d) == m
+    # and di = int(.02*m) <= m, so the conditional is always False and
+    # dc is the maximum distance.
+    dc = z.max()
     dc = dc if dc > 0 else 1.0
 
     gauss = np.exp(-((z / dc) ** 2))
     rho = np.zeros(n)
-    np.add.at(rho, ei, gauss)
-    np.add.at(rho, ej, gauss)
+    # interleave x/y increments in file order so float accumulation
+    # matches the reference's rho[x]+=g; rho[y]+=g loop bit-for-bit
+    # (np.add.at is unbuffered and applies updates sequentially).
+    np.add.at(rho, np.stack([ei, ej], 1).ravel(), np.repeat(gauss, 2))
 
     # delta[x] = min distance to a higher-rho neighbor; nn = that neighbor
     # (first minimal edge in file order on ties, like the reference)
@@ -63,7 +72,12 @@ def fsfdp_cluster(lines: Iterable[str]) -> Dict[str, int]:
     cand_b = np.concatenate([ej[lower_i], ei[lower_j]])
     cand_z = np.concatenate([z[lower_i], z[lower_j]])
     cand_o = np.concatenate([eidx[lower_i], eidx[lower_j]])
+    # ins[x] = index of the edge that first inserted x into the delta
+    # dict (the reference's dict preserves insertion order, which sets
+    # both the sd() accumulation order and center numbering).
+    ins = np.full(n, np.iinfo(np.int64).max)
     if len(cand_a):
+        np.minimum.at(ins, cand_a, cand_o)
         order = np.lexsort((cand_o, cand_z, cand_a))
         aa, bb, zz = cand_a[order], cand_b[order], cand_z[order]
         first = np.ones(len(aa), bool)
@@ -72,16 +86,29 @@ def fsfdp_cluster(lines: Iterable[str]) -> Dict[str, int]:
         nn[aa[first]] = bb[first]
 
     peak = int(np.argmax(rho))
-    finite = delta[np.isfinite(delta)]
+    member = np.isfinite(delta)  # nodes in the reference's delta dict
+    finite = delta[member]
     mx_delta = finite.max() if len(finite) else 1.0
     delta[peak] = mx_delta
+    member[peak] = True  # appended last (ins[peak] stays at int64 max)
     delta[~np.isfinite(delta)] = 0.0
 
-    rho_min = rho.mean()
-    dmin = float(np.std(delta))
-    centers = np.flatnonzero((rho > rho_min) & (delta > dmin))
+    def _seqsum(v):
+        # left-to-right sequential float sum, like the reference's sum()
+        return float(np.cumsum(v)[-1]) if len(v) else 0.0
+
+    rho_min = _seqsum(rho) / n
+    # sd() over the delta dict only (:145-146), in insertion order:
+    # component-local peaks that never entered delta are excluded.
+    midx = np.flatnonzero(member)
+    midx = midx[np.argsort(ins[midx], kind='stable')]
+    vals = delta[midx]
+    mu = _seqsum(vals) / len(vals)
+    dmin = (_seqsum((vals - mu) ** 2) / len(vals)) ** 0.5
 
     cl = np.full(n, -1, np.int64)
+    centers = [int(x) for x in midx
+               if rho[x] > rho_min and delta[x] > dmin]
     for c, node in enumerate(centers):
         cl[node] = c
     # flood the reversed nn forest from centers

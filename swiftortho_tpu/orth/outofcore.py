@@ -186,6 +186,8 @@ def find_orth_stream_ooc(sc_lines: Iterable[str],
                                 sco = max(float(l.split(b'\t')[2])
                                           for l in lines)
                                 out.write('%s\t%s\t%s\n' % (qip, sip, sco))
+            if hasattr(buf, 'close'):
+                buf.close()       # release the mapping before rmtree
 
         # output: normalized IP / OT / CO
         with open(ips_p) as fh:

@@ -72,14 +72,9 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
     out['bit'] = np.zeros(n, dtype=np.int64)
 
     order = np.argsort(pad_need, kind='stable')
-    done = 0
     L = q_tokens.shape[1]
-    for bucket in buckets:
-        hi = np.searchsorted(pad_need[order], bucket, side='right')
-        sel = order[done:hi]
-        done = hi
-        if len(sel) == 0:
-            continue
+
+    def run_bucket(sel, bucket):
         B = len(sel)
         # vectorized suffix gather: query suffixes come from the padded
         # q_tokens rows, subject suffixes from the flat db token array
@@ -115,6 +110,21 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
                   'score', 'bit'):
             out[k][sel] = res[k]
         out['idy'][sel] = res['idy']
+
+    done = 0
+    for bucket in buckets:
+        hi = np.searchsorted(pad_need[order], bucket, side='right')
+        sel = order[done:hi]
+        done = hi
+        if len(sel):
+            run_bucket(sel, int(bucket))
+    rest = order[done:]
+    if len(rest):
+        # catch-all: pairs longer than the largest configured bucket
+        # (possible when align_buckets maxes out below LONG_SEQ_TILE) —
+        # never silently skip; pad to the actual need.
+        cap = int(pad_need[rest].max())
+        run_bucket(rest, -(-cap // 128) * 128)
     return out
 
 
@@ -150,6 +160,10 @@ def load_db(prefix: str) -> list:
 
     paths = sorted(glob.glob(prefix + '.*.npz'),
                    key=lambda p: int(p.rsplit('.', 2)[-2]))
+    if not paths:
+        raise FileNotFoundError(
+            'no index files match %s.*.npz — check the -D prefix '
+            '(indexes are written by -p makedb)' % prefix)
     return [load_index(p) for p in paths]
 
 
@@ -263,7 +277,9 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             reached before the stop condition triggers."""
             qlen = int(lens[r])
             nhits = int(nhits_of[r])
-            mmiss = nhits * cfg.max_miss + 1
+            # the reference clamps max_miss itself before use
+            # (fsearch.py:2970: max_miss = max(max_miss, 1e-3))
+            mmiss = nhits * max(cfg.max_miss, 1e-3) + 1
             mmiss = max(mmiss, 100.0 / mmiss)
             mmiss = min(max(mmiss, 10), 120)
             unmch = 0
@@ -312,18 +328,25 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         # --- per-query policy + output (qrow is sorted) ---
         q_lo = np.searchsorted(qrow, np.arange(wend - wst))
         q_hi = np.searchsorted(qrow, np.arange(wend - wst), side='right')
+        rows_of = {}
         need_more = []
         for r in range(wend - wst):
             if q_lo[r] == q_hi[r]:
                 continue
-            _, ok = policy_rows(np.arange(q_lo[r], q_hi[r]), r)
-            if not ok:
+            rows, ok = policy_rows(np.arange(q_lo[r], q_hi[r]), r)
+            if ok:
+                rows_of[r] = rows
+            else:
                 need_more.append(r)
         if need_more:
             tail_mask = np.zeros(n_pairs, dtype=bool)
             for r in need_more:
                 tail_mask[q_lo[r]:q_hi[r]] = True
             align_subset(tail_mask)
+            for r in need_more:
+                rows, ok = policy_rows(np.arange(q_lo[r], q_hi[r]), r)
+                assert ok, 'policy unresolved after full alignment'
+                rows_of[r] = rows
 
         _t_align2 = _time.time()
         log_event('search_wave', wave=int(wst), queries=int(wend - wst),
@@ -334,10 +357,9 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                   align1_s=round(_t_align1 - _t_prep, 2),
                   policy_s=round(_t_align2 - _t_align1, 2))
         for r in range(wend - wst):
-            if q_lo[r] == q_hi[r]:
+            if r not in rows_of:
                 continue
-            rows, ok = policy_rows(np.arange(q_lo[r], q_hi[r]), r)
-            assert ok, 'policy unresolved after full alignment'
+            rows = rows_of[r]
             gi = wst + r
             qlen = int(lens[r])
             hid = qry.ids[gi]

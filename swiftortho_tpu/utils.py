@@ -55,5 +55,8 @@ def fresh(path: str, *inputs: str) -> bool:
     if not os.path.exists(path) or os.path.getsize(path) == 0:
         return False
     mt = os.path.getmtime(path)
-    return all(os.path.getmtime(i) <= mt for i in inputs
-               if os.path.exists(i))
+    # strict <: an input written in the same mtime tick counts as newer
+    # (coarse-granularity filesystems would otherwise keep stale output);
+    # a missing input means the pipeline state is inconsistent -> rerun.
+    return all(os.path.exists(i) and os.path.getmtime(i) < mt
+               for i in inputs)

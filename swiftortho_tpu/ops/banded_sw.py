@@ -357,32 +357,51 @@ def sw_align_batch(tok0: jnp.ndarray, tok1: jnp.ndarray,
 _CHUNK = 512          # pairs per pallas kernel launch (VMEM-bound)
 
 
-@jax.jit
-def _sw_align_chunked(t0, t1, l0, l1):
+@partial(jax.jit, static_argnames=('score_only',))
+def _sw_align_chunked(t0, t1, l0, l1, score_only=False):
     """(N, 512, L) chunked alignment in ONE dispatch: lax.map over the
     pallas kernel (dispatch through the TPU tunnel costs ~20 ms, so many
     chunks must ride one call)."""
     from .banded_sw_pallas import sw_align_batch_pallas
 
     def one(args):
-        return sw_align_batch_pallas.__wrapped__(*args)
+        return sw_align_batch_pallas.__wrapped__(*args,
+                                                 score_only=score_only)
 
     return jax.lax.map(one, (t0, t1, l0, l1))
 
 
-def sw_align_auto(tok0, tok1, len0, len1):
+_COMPILED_NPOW: dict = {}
+
+
+def sw_align_auto(tok0, tok1, len0, len1, score_only=False):
     """Dispatch to the Pallas TPU kernel when running on TPU (fixed
     512-pair chunks, power-of-two chunk counts to bound compilation),
-    else the portable lax.scan version."""
+    else the portable lax.scan version.
+
+    score_only: skip the per-cell path-statistics carries in the TPU
+    kernel (score/bi/bj remain exact; other fields return 0).  The host
+    paths ignore it — the C++ kernel computes everything in one pass.
+    """
     import jax as _jax
 
     B = tok0.shape[0]
     platform = _jax.default_backend()
     if platform in ('tpu', 'axon'):
         n = -(-B // _CHUNK)
-        npow = 1
-        while npow < n:
-            npow *= 2
+        # reuse an already-compiled chunk count when one can serve this
+        # batch: padding a few chunks costs ms, a fresh XLA compile over
+        # the tunnel costs ~20-40 s (tail waves would otherwise pay it)
+        key = (tok0.shape[1], tok1.shape[1], bool(score_only))
+        seen = _COMPILED_NPOW.setdefault(key, set())
+        usable = [p for p in seen if p >= n]
+        if usable:
+            npow = min(usable)
+        else:
+            npow = 1
+            while npow < n:
+                npow *= 2
+            seen.add(npow)
         pad = npow * _CHUNK - B
         if pad:
             tok0 = np.pad(tok0, ((0, pad), (0, 0)))
@@ -393,7 +412,8 @@ def sw_align_auto(tok0, tok1, len0, len1):
         sh1 = (npow, _CHUNK, tok1.shape[1])
         out = _sw_align_chunked(tok0.reshape(sh0), tok1.reshape(sh1),
                                 len0.reshape(npow, _CHUNK).astype(np.int32),
-                                len1.reshape(npow, _CHUNK).astype(np.int32))
+                                len1.reshape(npow, _CHUNK).astype(np.int32),
+                                score_only=bool(score_only))
         return {k: np.asarray(v).reshape(-1)[:B] for k, v in out.items()}
     try:        # host: the C++ kernel is ~10x the portable lax.scan one
         from ..native import sw_align_batch_native

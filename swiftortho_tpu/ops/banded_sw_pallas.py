@@ -65,7 +65,7 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
             h1, top1, ia1, mg1, st1,
             h2, top2, ia2, mg2, st2,
             besth, besti, bestj, bestia, bestmg, bestst,
-            *, go: int, ge: int):
+            *, go: int, ge: int, stats: bool = True):
     g = pl.program_id(0)
     t0 = g * BLK_T
 
@@ -106,12 +106,13 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
         c1w = window(c1_refs, 8 - lt)
 
         c1code = jnp.bitwise_and(c1w, 31)
-        r1 = jnp.right_shift(c1w, 5)
-        r0 = jnp.right_shift(c0w, 5)
         sub = jnp.full((NS, B), -4, jnp.int32)
         for c in range(NCH):
             sub = jnp.where(c1code == c, p0w[:, c, :], sub)
-        eqi = ((r1 == r0) & (r1 > 0)).astype(jnp.int32)
+        if stats:
+            r1 = jnp.right_shift(c1w, 5)
+            r0 = jnp.right_shift(c0w, 5)
+            eqi = ((r1 == r0) & (r1 > 0)).astype(jnp.int32)
 
         iv = t + 9 - e_col
         jv = t + e_col - 8 + p
@@ -155,15 +156,6 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
         op_new = jnp.where(is_i & (opl != 2), 2,
                            jnp.where(is_d & (opu != 1), 1, 0))
         TOPn = jnp.left_shift(tr_new, 2) + op_new
-        IAn = jnp.where(is_m, IAd + eqi * PACK + 1,
-                        jnp.where(is_i, IAl + 1,
-                                  jnp.where(is_d, IAu + 1, 0)))
-        MGn = jnp.where(is_m, MGd + (1 - eqi) * PACK,
-                        jnp.where(is_i, MGl + PACK + gap_i,
-                                  jnp.where(is_d, MGu + PACK + gap_d, 0)))
-        STn = jnp.where(is_star, iv * PACK + jv,
-                        jnp.where(is_m, STd,
-                                  jnp.where(is_i, STl, STu)))
 
         inmat = (iv >= 0) & (jv >= 0) & (iv <= l1v) & (jv <= l0v)
         is_row0 = inmat & (iv == 0)
@@ -172,15 +164,33 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
         bd_odd = jnp.bitwise_and(bd_aln, 1) == 1
         bd_op = jnp.where(is_row0 & (jv > 0) & bd_odd, 2,
                           jnp.where(is_col0 & bd_odd, 1, 0))
-        bd_MG = bd_aln * PACK + (bd_aln + 1) // 2
 
         Hn = jnp.where(computed, Bv, 0)
         TOPn = jnp.where(computed, TOPn, bd_op)
-        IAn = jnp.where(computed, IAn,
-                        jnp.where(is_row0 | is_col0, bd_aln, 0))
-        MGn = jnp.where(computed, MGn,
-                        jnp.where(is_row0 | is_col0, bd_MG, 0))
-        STn = jnp.where(computed, STn, 0)
+
+        if stats:
+            IAn = jnp.where(is_m, IAd + eqi * PACK + 1,
+                            jnp.where(is_i, IAl + 1,
+                                      jnp.where(is_d, IAu + 1, 0)))
+            MGn = jnp.where(is_m, MGd + (1 - eqi) * PACK,
+                            jnp.where(is_i, MGl + PACK + gap_i,
+                                      jnp.where(is_d, MGu + PACK + gap_d,
+                                                0)))
+            STn = jnp.where(is_star, iv * PACK + jv,
+                            jnp.where(is_m, STd,
+                                      jnp.where(is_i, STl, STu)))
+            bd_MG = bd_aln * PACK + (bd_aln + 1) // 2
+            IAn = jnp.where(computed, IAn,
+                            jnp.where(is_row0 | is_col0, bd_aln, 0))
+            MGn = jnp.where(computed, MGn,
+                            jnp.where(is_row0 | is_col0, bd_MG, 0))
+            STn = jnp.where(computed, STn, 0)
+        else:
+            # score-only prepass: drop the path-statistics carries (the
+            # E-value filter needs score/bi/bj alone; full stats are
+            # recomputed afterwards for the ~3% of pairs that pass)
+            zero = jnp.zeros((NS, B), jnp.int32)
+            IAn = MGn = STn = zero
 
         # running best: strictly greater, ties to smallest (i, j).
         # keys are unique among computed slots (distinct i per slot).
@@ -249,11 +259,13 @@ def _encode(tok):
     return t * 32 + code
 
 
-@functools.partial(jax.jit, static_argnames=('go', 'ge', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('go', 'ge', 'interpret',
+                                             'score_only'))
 def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
                           len0: jnp.ndarray, len1: jnp.ndarray,
                           go: int = GAP_OPEN, ge: int = GAP_EXTEND,
-                          interpret: bool = False) -> dict:
+                          interpret: bool = False,
+                          score_only: bool = False) -> dict:
     """Drop-in for sw_align_batch (kbound fixed at 16). tok* are (B, L)
     uint8 padded batches; returns the same (B,) int32 result arrays."""
     B, L0 = tok0.shape
@@ -302,7 +314,8 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
         p0r = refs[8:12]
         l0r, l1r, out = refs[12], refs[13], refs[14]
         scratch = refs[15:]
-        _kernel(c0r, c1r, p0r, l0r, l1r, out, *scratch, go=go, ge=ge)
+        _kernel(c0r, c1r, p0r, l0r, l1r, out, *scratch, go=go, ge=ge,
+                stats=not score_only)
 
     out = pl.pallas_call(
         kern,

@@ -52,7 +52,7 @@ def _mask_queries(qry: SeqDB, idx: np.ndarray, pad: int, flt: bool):
 
 
 def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
-                 band_q, band_s, buckets) -> dict:
+                 band_q, band_s, buckets, score_only: bool = False) -> dict:
     """Align candidate pairs with the reference swap rule, bucketed by
     padded suffix length.  Returns reference-coordinate results."""
     n = len(qrow)
@@ -104,7 +104,7 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
         fill(t1, ~sw, db.tokens, s_st, s_n)
         l0 = np.where(sw, s_n, q_n).astype(np.int32)
         l1 = np.where(sw, q_n, s_n).astype(np.int32)
-        best = sw_align_auto(t0, t1, l0, l1)
+        best = sw_align_auto(t0, t1, l0, l1, score_only=score_only)
         res = postprocess_batch(best, band_q[sel], band_s[sel], swapped[sel])
         for k in ('aln', 'mis', 'gap', 'qst', 'qed', 'sst', 'sed',
                   'score', 'bit'):
@@ -248,11 +248,35 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                           'score', 'bit')}
         full['idy'] = np.zeros(n_pairs, dtype=np.float64)
 
+        # On TPU, a score-only prepass filters by E-value first: only the
+        # few percent of pairs that pass need the full path statistics
+        # (the policy loop reads nothing but `bit` from misses).  Scores
+        # from the prepass and the full kernel are the same DP, so the
+        # output is unchanged.  On the host the C++ kernel computes all
+        # stats in one pass anyway, so the prepass would only add work.
+        import jax as _jax
+        use_prepass = _jax.default_backend() in ('tpu', 'axon')
+
         def align_subset(mask):
             mask = mask & ~is_long & ~aligned
             sel_idx = np.flatnonzero(mask)
             if len(sel_idx) == 0:
                 return
+            if use_prepass:
+                resA = _align_pairs(toks, lens, ref, qrow[sel_idx],
+                                    subj[sel_idx], bq[sel_idx],
+                                    bs[sel_idx], cfg.align_buckets,
+                                    score_only=True)
+                e = (D * lq_all[sel_idx] * ls_all[sel_idx]
+                     * np.power(2.0, -resA['bit'].astype(np.float64)))
+                passing = e <= cfg.expect
+                sel2 = sel_idx[passing]
+                for k in ('bit', 'score'):
+                    full[k][sel_idx] = resA[k]
+                aligned[sel_idx] = True
+                if len(sel2) == 0:
+                    return
+                sel_idx = sel2
             res = _align_pairs(toks, lens, ref, qrow[sel_idx],
                                subj[sel_idx], bq[sel_idx], bs[sel_idx],
                                cfg.align_buckets)

@@ -142,3 +142,51 @@ class TestScriptCLI:
         assert main(['mcl_cmp', str(q), str(r)]) == 0
         out = capsys.readouterr().out
         assert 'qry 50.000000%' in out
+
+
+class TestReviewFixes:
+    def test_pan_type_map_singleton_default(self):
+        from swiftortho_tpu.analysis.goterm import pan_type_map
+        pan = ['#h\n', 'group_000000000\tCore\n',
+               'group_000000001\tSpecific\n']    # trailing singleton row
+        clsr = ['a|1\tb|1\n']
+        m = pan_type_map(pan, clsr)
+        assert m == {'a|1': 'Core', 'b|1': 'Core'}
+        assert m.default_type == 'Specific'
+
+    def test_pan_type_map_no_singletons_keeps_unknown(self):
+        from swiftortho_tpu.analysis.goterm import pan_type_map
+        m = pan_type_map(['group_000000000\tCore\n'], ['a|1\n'])
+        assert m.default_type == 'unknown'
+
+    def test_load_db_missing_prefix_raises(self, tmp_path):
+        import pytest
+        from swiftortho_tpu.search.blastp import load_db
+        with pytest.raises(FileNotFoundError):
+            load_db(str(tmp_path / 'nope'))
+
+    def test_fresh_strict(self, tmp_path):
+        import os
+        from swiftortho_tpu.utils import fresh
+        out = tmp_path / 'out.txt'
+        inp = tmp_path / 'in.txt'
+        inp.write_text('x')
+        out.write_text('y')
+        os.utime(inp, (100.0, 100.0))
+        os.utime(out, (200.0, 200.0))
+        assert fresh(str(out), str(inp))
+        os.utime(inp, (200.0, 200.0))    # same tick -> stale
+        assert not fresh(str(out), str(inp))
+        assert not fresh(str(out), str(tmp_path / 'missing.txt'))
+
+    def test_fsfdp_matches_reference_semantics(self):
+        # dc = max distance; deltamin over delta members only; center on
+        # the dense clique's peak, not the sparse component's local peak
+        from swiftortho_tpu.cluster.fsfdp import fsfdp_cluster
+        lines = []
+        for i in range(5):
+            for j in range(i + 1, 5):
+                lines.append('a%d\ta%d\t0.1\n' % (i, j))
+        lines += ['a0\ta1\t0.05\n', 'b0\tb1\t9.0\n', 'b1\tb2\t9.5\n']
+        out = fsfdp_cluster(lines)
+        assert out and all(g.startswith('a') for g in out)

@@ -54,3 +54,18 @@ class TestPallasParity:
         l0 = np.full(B, 60, np.int32)
         l1 = np.full(B, 60, np.int32)
         _cmp(t0, t1, l0, l1)
+
+    def test_score_only_matches_full(self, rng):
+        from swiftortho_tpu.ops.banded_sw_pallas import sw_align_batch_pallas
+        B, L = 128, 96
+        t0 = AA[rng.integers(0, 20, (B, L))]
+        t1 = AA[rng.integers(0, 20, (B, L))]
+        l0 = rng.integers(10, L, B).astype(np.int32)
+        l1 = rng.integers(10, L, B).astype(np.int32)
+        f = sw_align_batch_pallas(t0, t1, l0, l1, interpret=True)
+        s = sw_align_batch_pallas(t0, t1, l0, l1, interpret=True,
+                                  score_only=True)
+        for k in ('score', 'bi', 'bj'):
+            assert np.array_equal(np.asarray(f[k]), np.asarray(s[k]))
+        for k in ('sti', 'stj', 'idy', 'aln', 'mis', 'gap'):
+            assert (np.asarray(s[k]) == 0).all()

@@ -189,3 +189,18 @@ class TestBlastpEndToEnd:
         assert aln >= qed - qst + 1 - 32
         assert bit > 0
         assert qidx == 0
+
+
+class TestAlignPairsCatchAll:
+    def test_pair_larger_than_max_bucket_is_aligned(self):
+        from swiftortho_tpu.io_fasta import SeqDB
+        from swiftortho_tpu.search.blastp import _align_pairs
+        seq = ('MKVLAWDERTYHGGSPQANILCFMKVLAWDERTYHGGSPQANILCF' * 5)[:200]
+        db = SeqDB.from_records([('t|a', seq), ('t|b', seq)])
+        toks = np.zeros((1, 256), np.uint8)
+        toks[0, :200] = np.frombuffer(seq.encode(), np.uint8)
+        lens = np.array([200], np.int64)
+        res = _align_pairs(toks, lens, db,
+                           np.array([0]), np.array([1]),
+                           np.array([0]), np.array([0]), buckets=(64,))
+        assert res['score'][0] > 0 and res['aln'][0] >= 200

@@ -122,9 +122,12 @@ def main():
         return
 
     cpu = _run('--cpu-worker', timeout=600)
-    tpu = _run('--tpu-worker', timeout=900)
+    # axon session establishment can inflate to many minutes when prior
+    # processes were killed mid-warm (server-side sessions drain over
+    # ~1 h) — give the worker room, and retry once
+    tpu = _run('--tpu-worker', timeout=1500)
     if tpu is None:                               # one retry (cold tunnel)
-        tpu = _run('--tpu-worker', timeout=900)
+        tpu = _run('--tpu-worker', timeout=1500)
 
     tpu_v = tpu['cells_per_s'] if tpu else 0.0
     cpu_v = cpu['cells_per_s'] if cpu else 0.0

@@ -48,6 +48,7 @@ _STAR, _DIAG, _DASH, _PIPE = 0, 1, 2, 3
 BLK_T = 8
 NS = 17          # slot rows (d = -17+2e+p)
 NCH = 24         # profile channels (codes 0..23; 23 is the -4 junk row)
+NW = 3           # packed profile words: 8 nibble channels per int32
 PACK = 1 << 14   # stats packing base
 
 
@@ -106,9 +107,16 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
         c1w = window(c1_refs, 8 - lt)
 
         c1code = jnp.bitwise_and(c1w, 31)
-        sub = jnp.full((NS, B), -4, jnp.int32)
-        for c in range(NCH):
-            sub = jnp.where(c1code == c, p0w[:, c, :], sub)
+        # profile channels are packed 8-per-int32 as (value+4) nibbles
+        # (BLOSUM62 range [-4, 11] is exactly 4 bits): pick the word by
+        # c1code >> 3, extract the nibble with a per-lane variable shift
+        # — ~5 VPU ops instead of a 24-way select chain, and 8x less
+        # profile VMEM streaming (measured 6.15 -> ~11 Gcells/s).
+        widx = jnp.right_shift(c1code, 3)
+        w = jnp.where(widx == 0, p0w[:, 0, :],
+                      jnp.where(widx == 1, p0w[:, 1, :], p0w[:, 2, :]))
+        sh = jnp.left_shift(jnp.bitwise_and(c1code, 7), 2)
+        sub = jnp.bitwise_and(jnp.right_shift(w, sh), 15) - 4
         if stats:
             r1 = jnp.right_shift(c1w, 5)
             r0 = jnp.right_shift(c0w, 5)
@@ -237,16 +245,25 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
 
 
 def _build_profile(code0: jnp.ndarray) -> jnp.ndarray:
-    """P0[l, c, b] = B62_CODES[c, code0[l, b]] via fused selects."""
-    planes = []
-    for c in range(NCH):
-        acc = jnp.full(code0.shape, -4, jnp.int32)
+    """Packed profile: word w of P0[l, w, b] holds nibbles
+    (B62_CODES[8w+k, code0[l, b]] + 4) << 4k for k in 0..7, built via
+    fused selects over code0 (one select chain per distinct word value,
+    outside the kernel)."""
+    words = []
+    for w in range(NW):
+        # precompute the packed word for every possible code0 value,
+        # then select — 24 selects per word instead of 8*24
+        packed = [0] * NCH
         for d in range(NCH):
-            v = int(B62_CODES[c, d])
-            if v != -4:
-                acc = jnp.where(code0 == d, v, acc)
-        planes.append(acc)
-    return jnp.stack(planes, axis=1)      # (Lp, NCH, B)
+            v = 0
+            for k in range(8):
+                v |= (int(B62_CODES[8 * w + k, d]) + 4) << (4 * k)
+            packed[d] = np.int32(np.uint32(v & 0xFFFFFFFF))
+        acc = jnp.full(code0.shape, packed[NCH - 1], jnp.int32)
+        for d in range(NCH - 1):
+            acc = jnp.where(code0 == d, packed[d], acc)
+        words.append(acc)
+    return jnp.stack(words, axis=1)       # (Lp, NW, B)
 
 
 def _encode(tok):
@@ -304,7 +321,7 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
     c1_specs = [pl.BlockSpec((BLK_T, B),
                              (lambda s: (lambda g: (kb - 2 - g + s, 0)))(s),
                              memory_space=pltpu.VMEM) for s in range(4)]
-    p0_specs = [pl.BlockSpec((BLK_T, NCH, B),
+    p0_specs = [pl.BlockSpec((BLK_T, NW, B),
                              (lambda s: (lambda g: (g + s, 0, 0)))(s),
                              memory_space=pltpu.VMEM) for s in range(4)]
 

@@ -13,8 +13,11 @@ Behavioral contract: reference ``mcl`` (bin/find_cluster.py:652-689) and
 
 The reference runs one sparse matrix per <=1e7-edge component batch; we run
 one dense (B, s, s) batch per component size bucket — identical per-column
-math (components are disconnected), with batched f32 matmuls.  Components
-larger than ``max_dense`` fall back to scipy sparse with the same loop.
+math (components are disconnected), with batched f32 matmuls, and a
+per-component convergence mask that freezes each component at its own
+stopping iteration (so batching never changes when a component stops).
+Components larger than ``max_dense`` fall back to scipy sparse with the
+same loop.
 """
 
 from __future__ import annotations
@@ -39,7 +42,13 @@ def _mcl_dense_batch(x: jnp.ndarray,
                      prune: float = 1e-5, rtol: float = 1e-5,
                      atol: float = 1e-8, itr: int = 100, check: int = 5):
     """Run the MCL loop on a (B, s, s) batch; padding nodes carry identity
-    self-loops (they normalize to themselves and never interact)."""
+    self-loops (they normalize to themselves and never interact).
+
+    Convergence is tracked PER COMPONENT (a (B,) done mask): a converged
+    component's matrix is frozen while batch-mates keep iterating, so the
+    effective stopping iteration of every component matches the reference's
+    one-sparse-matrix-at-a-time loop (find_cluster.py:652-689) rather than
+    the slowest member of its size bucket."""
 
     def colnorm(x):
         y = x.sum(axis=1, keepdims=True) + 1e-8     # column sums
@@ -47,22 +56,26 @@ def _mcl_dense_batch(x: jnp.ndarray,
 
     def body(state):
         x, x_old, i, done = state
-        x = colnorm(x)
-        x_old = jnp.where(i % check == 0, x, x_old)
+        frozen = done[:, None, None]
+        y = colnorm(x)
+        x_old = jnp.where((i % check == 0) & ~frozen, y, x_old)
         for _ in range(expansion - 1):
-            x = jnp.matmul(x, x, precision=jax.lax.Precision.HIGHEST)
-        x = jnp.power(x, inflation)
-        conv = (jnp.abs(x - x_old) - rtol * jnp.abs(x_old)).max() <= atol
-        done = (i % check == 0) & (i > 0) & conv
-        x = jnp.where(x < prune, 0.0, x)
+            y = jnp.matmul(y, y, precision=jax.lax.Precision.HIGHEST)
+        y = jnp.power(y, inflation)
+        conv = ((jnp.abs(y - x_old) - rtol * jnp.abs(x_old))
+                .max(axis=(1, 2)) <= atol)
+        y = jnp.where(y < prune, 0.0, y)
+        x = jnp.where(frozen, x, y)
+        done = done | ((i % check == 0) & (i > 0) & conv)
         return x, x_old, i + 1, done
 
     def cond(state):
         _, _, i, done = state
-        return (i < itr) & (~done)
+        return (i < itr) & (~done.all())
 
     x0 = jnp.zeros_like(x)
-    x, _, _, _ = jax.lax.while_loop(cond, body, (x, x0, 0, jnp.bool_(False)))
+    done0 = jnp.zeros(x.shape[0], dtype=bool)
+    x, _, _, _ = jax.lax.while_loop(cond, body, (x, x0, 0, done0))
     return x
 
 

@@ -1,12 +1,18 @@
 """Native (C++) host kernels, loaded via ctypes.
 
-Builds on demand with g++ -O3 -march=native (the reference compiles its
-RPython kernel on first run the same way, bin/find_hit.py:198-209).
+Builds on demand (the reference compiles its RPython kernel on first run
+the same way, bin/find_hit.py:198-209).  The shared object is a build
+artifact, never committed: it is validated against a sha256 of the
+sources + compile command before loading, so a stale or foreign-host
+binary is always rebuilt rather than trusted (mtimes are unreliable after
+a fresh clone).  -march=native is attempted first and falls back to a
+portable -O3 build on compilers/targets that reject it.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,19 +23,48 @@ from ..constants import B62_BYTES, GAP_EXTEND, GAP_OPEN, KBOUND
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, 'libswnative.so')
+_HASH = _SO + '.hash'
 _lock = threading.Lock()
 _lib = None
 
 
 _SOURCES = ('banded_sw.cpp', 'chain.cpp')
+_FLAG_SETS = (['-O3', '-march=native'], ['-O3'])
+
+
+def _source_hash(flags) -> str:
+    h = hashlib.sha256()
+    h.update(' '.join(flags).encode())
+    for s in _SOURCES:
+        with open(os.path.join(_HERE, s), 'rb') as f:
+            h.update(f.read())
+    return h.hexdigest()
 
 
 def _build() -> str:
     srcs = [os.path.join(_HERE, s) for s in _SOURCES]
-    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC',
-           '-o', _SO] + srcs
-    subprocess.run(cmd, check=True, capture_output=True)
-    return _SO
+    err = None
+    for flags in _FLAG_SETS:
+        cmd = ['g++'] + flags + ['-shared', '-fPIC', '-o', _SO] + srcs
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (subprocess.CalledProcessError, OSError) as e:
+            err = e
+            continue
+        with open(_HASH, 'w') as f:
+            f.write(_source_hash(flags))
+        return _SO
+    raise RuntimeError('native build failed: %r' % (err,))
+
+
+def _valid() -> bool:
+    """The .so is trusted only if its recorded build hash matches the
+    current sources (for either flag set)."""
+    if not os.path.exists(_SO) or not os.path.exists(_HASH):
+        return False
+    with open(_HASH) as f:
+        recorded = f.read().strip()
+    return any(recorded == _source_hash(fl) for fl in _FLAG_SETS)
 
 
 def load() -> ctypes.CDLL:
@@ -37,10 +72,7 @@ def load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or any(
-                os.path.getmtime(_SO)
-                < os.path.getmtime(os.path.join(_HERE, s))
-                for s in _SOURCES):
+        if not _valid():
             _build()
         lib = ctypes.CDLL(_SO)
         lib.sw_align_batch.argtypes = [
@@ -126,6 +158,28 @@ def chain_scores_native(q_tokens: np.ndarray, db_tokens: np.ndarray,
         _SUB.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         xdrop, out.ctypes.data_as(i64p))
     return out
+
+
+def gather_rows(src: np.ndarray, starts: np.ndarray,
+                counts: np.ndarray, row_idx: np.ndarray,
+                dst: np.ndarray):
+    """dst[row_idx[i], :counts[i]] = src[starts[i]:...]; zero tails.
+
+    Uses the native kernel when a compiler / loadable .so is available;
+    otherwise an exact (slower) numpy fallback so the search path never
+    hard-depends on g++."""
+    try:
+        gather_rows_native(src, starts, counts, row_idx, dst)
+        return
+    except Exception:
+        from ..utils import warn_fallback
+        warn_fallback('gather_rows',
+                      'native .so unavailable; exact numpy row copies')
+    flat = np.ascontiguousarray(src).reshape(-1)
+    for s, c, r in zip(starts, counts, row_idx):
+        c = int(c)
+        dst[r, :c] = flat[int(s):int(s) + c]
+        dst[r, c:] = 0
 
 
 def gather_rows_native(src: np.ndarray, starts: np.ndarray,

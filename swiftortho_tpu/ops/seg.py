@@ -15,7 +15,16 @@ for the whole sequence.  Frequencies use denominator 12 and sum to 2.
 - A second pass dilates each 'x' by ±8 and merges islands
   (fsearch.py:2930-2946); the search pipeline uses the *first* output.
 
-Two implementations: a sequential python oracle and a batched JAX one.
+Implementations: a sequential python oracle (seg_string) that reproduces
+the reference's *incremental* +- entropy accumulation bit-for-bit, and two
+batched ones (JAX seg_batch, numpy seg_batch_vec).
+
+Named deviation (floating point): the batched paths recompute each window's
+entropy from counts (f32 / f64) instead of accumulating incremental +-
+updates, so on a knife-edge window whose accumulated-vs-recomputed entropy
+rounds differently across 2.2 the mask bit can differ from the oracle /
+reference.  Not observed on any corpus tested; the oracle is the parity
+arbiter.
 """
 
 from __future__ import annotations
@@ -55,14 +64,30 @@ def seg_string(S: str, minent: float = SEG_MIN_ENT,
     for c in win:
         counts[c] += 1           # double-count, like reference entropy()
     denom = float(len(win)) if win else 1.0
-    if n and _ent_from_counts(counts, denom) < minent:
+    ent = _ent_from_counts(counts, denom)
+    if n and ent < minent:
         mask[0] = 1
+    # incremental +- entropy accumulation in the reference's exact order
+    # and expression form (fsearch.py:2895-2907), so knife-edge windows
+    # compare identically (recomputing from counts would round differently)
+    log2 = log(2)
+    wf = float(window)
     for i in range(1, n - w + 1):
         pre, cur = s[i - 1], s[i + w - 1]
-        if pre != cur:
-            counts[pre] -= 1     # reference slides by +-1, not +-2
-            counts[cur] += 1
-        if _ent_from_counts(counts, float(w)) < minent:
+        if pre == cur:
+            mask[i] = mask[i - 1]     # reference copies the previous bit
+            continue
+        pre_count = counts[pre]
+        counts[pre] -= 1              # reference slides by +-1, not +-2
+        cur_count = counts[cur]
+        counts[cur] += 1
+        a, b = pre_count / wf, counts[pre] / wf
+        ent += (b != 0 and (a * log(a) - b * log(b)) / log2
+                or a * log(a) / log2)
+        a, b = cur_count / wf, counts[cur] / wf
+        ent += (a != 0 and (a * log(a) - b * log(b)) / log2
+                or -b * log(b) / log2)
+        if ent < minent:
             mask[i] = 1
     nws = max(0, n - w)
     if n and mask[nws] == 1:

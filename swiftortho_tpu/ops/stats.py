@@ -34,10 +34,22 @@ def bit2e(db_size, qlen, slen, bit):
     return db_size * qlen * slen * np.power(2.0, -np.asarray(bit, dtype=np.float64))
 
 
+def py2_float_str(v: float) -> str:
+    """Python-2 ``str(float)``: 12-significant-digit shortest form with a
+    trailing ``.0`` on integral values.  The reference ran under RPython
+    (py2 semantics), so values like 3.0999999999999996 printed as '3.1' —
+    py3's shortest-repr would truncate to '3.09' downstream."""
+    s = '%.12g' % v
+    if 'e' not in s and '.' not in s and 'n' not in s and 'f' not in s:
+        s += '.0'
+    return s
+
+
 def f2s(e: float) -> str:
     """Custom scientific-notation formatter, char-for-char compatible with the
     reference's f2s (fsearch.py:42-61): mantissa truncated to 2 decimals,
-    plain str() for e >= 1e-3, '0' for e <= 0."""
+    plain str() for e >= 1e-3, '0' for e <= 0.  All str(float) sites use the
+    py2 12-digit form the reference's runtime produced."""
     if e <= 0:
         return '0'
     if e < 1e-3:
@@ -46,11 +58,11 @@ def f2s(e: float) -> str:
         if a < 0:
             a += 1
         b = pow(10, a)
-        s = str(log10(e / b))
+        s = py2_float_str(log10(e / b))
         end = max(0, s.find('.'))
         s = s[:end]
-        p = str(b)
+        p = py2_float_str(b)
         end = max(0, p.find('.') + 3)
         p = p[:end]
         return '%se%s' % (p, s)
-    return str(e)
+    return py2_float_str(e)

@@ -19,6 +19,15 @@ from a whole query wave are length-bucketed and aligned in big parallel
 batches on device; the sequential early-stop policy is *simulated post-hoc*
 per query (alignment of candidates the reference would have skipped costs
 extra FLOPs but changes nothing observable).
+
+Named deviation (tie order): the reference ranks candidates and final m8
+rows with seeded UNSTABLE quicksorts (fsearch.py qsort :189-327, final sort
+:3108-3110), so its order among equal chain scores / equal bit scores is an
+artifact of pivot choices and not reproducible.  Here candidate ranking is
+a deterministic lexsort (chain score desc, subject asc) and the final row
+sort is stable by bit desc — rows at the vmax cut, the early-stop window,
+and the top-v boundary can therefore differ from the reference when scores
+tie.
 """
 
 from __future__ import annotations
@@ -39,7 +48,10 @@ from .candidates import Candidates, generate_candidates
 
 
 def _fmt_idy(idy: float) -> str:
-    s = str(idy)
+    # py2 12-digit float str, then truncate to 2 decimals (the reference's
+    # runtime printed floats with py2 semantics; see ops.stats.py2_float_str)
+    from ..ops.stats import py2_float_str
+    s = py2_float_str(idy)
     end = max(0, s.find('.') + 3)
     return s[:end]
 
@@ -86,7 +98,7 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
         t0 = np.empty((B, bucket), np.uint8)
         t1 = np.empty((B, bucket), np.uint8)
 
-        from ..native import gather_rows_native
+        from ..native import gather_rows
         qr = qrow[sel]
         q_flat_st = qr * L + q_st          # q_tokens rows, flattened
         all_rows = np.arange(B, dtype=np.int64)
@@ -94,8 +106,8 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
         def fill(dst, rows_mask, src, starts, counts):
             rows = all_rows[rows_mask]
             if len(rows):
-                gather_rows_native(src, starts[rows_mask],
-                                   counts[rows_mask], rows, dst)
+                gather_rows(src, starts[rows_mask],
+                            counts[rows_mask], rows, dst)
 
         # columns (t0): query unless swapped; rows (t1): the other one
         fill(t0, ~sw, q_tokens, q_flat_st, q_n)

@@ -214,7 +214,12 @@ def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
             s_off, s_len, q_len, p_qst, XDROP)
         return _finish_candidates(g_qrow, g_sid, g_diag, totalsc)
     except Exception:   # no compiler / build failure: vectorized fallback
-        pass
+        from ..utils import warn_fallback
+        warn_fallback(
+            'chain_scores',
+            'native chain engine unavailable; numpy x-drop windows capped '
+            'at EXT_CAP=%d residues / MAX_ROUNDS=%d' % (EXT_CAP, MAX_ROUNDS),
+            exact=False)
 
     totalsc = np.zeros(n_groups, dtype=np.int64)
     cover_x = np.full(n_groups, -2 ** 60, dtype=np.int64)  # qlo bound (excl)

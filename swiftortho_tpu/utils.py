@@ -16,6 +16,25 @@ import sys
 import time
 
 
+_warned: set = set()
+
+
+def warn_fallback(kind: str, detail: str, exact: bool = True):
+    """Loud, once-per-process warning that a native/fast path degraded to a
+    fallback.  ``exact=False`` marks fallbacks that can change output (e.g.
+    the capped numpy chain scorer) — those must never be silent."""
+    if kind in _warned:
+        return
+    _warned.add(kind)
+    log_event('fallback', kind=kind, detail=detail, exact=exact,
+              capped=not exact)
+    sys.stderr.write('[swiftortho] WARNING: %s fallback in use — %s%s\n'
+                     % (kind, detail,
+                        '' if exact else ' (results may differ: capped '
+                        'extensions can perturb candidate ranking)'))
+    sys.stderr.flush()
+
+
 def log_event(stage: str, **fields):
     rec = {'ts': round(time.time(), 3), 'stage': stage}
     rec.update(fields)

@@ -1,0 +1,98 @@
+"""Fallback-path behavior: loud once-per-process warnings and exactness.
+
+VERDICT round 1 item 8: the capped numpy chain scorer must never run
+silently; ADVICE: _align_pairs must not hard-depend on the native .so.
+"""
+
+import numpy as np
+import pytest
+
+import swiftortho_tpu.native as native
+import swiftortho_tpu.utils as utils
+from swiftortho_tpu.native import gather_rows
+
+
+@pytest.fixture(autouse=True)
+def _reset_warned():
+    utils._warned.clear()
+    yield
+    utils._warned.clear()
+
+
+def test_gather_rows_numpy_fallback(monkeypatch, capsys):
+    def boom(*a, **k):
+        raise OSError('no compiler')
+    monkeypatch.setattr(native, 'gather_rows_native', boom)
+    src = np.arange(40, dtype=np.uint8)
+    starts = np.array([0, 10, 35], dtype=np.int64)
+    counts = np.array([5, 3, 5], dtype=np.int64)
+    rows = np.array([2, 0, 1], dtype=np.int64)
+    dst = np.full((3, 6), 9, dtype=np.uint8)
+    gather_rows(src, starts, counts, rows, dst)
+    assert list(dst[2]) == [0, 1, 2, 3, 4, 0]
+    assert list(dst[0]) == [10, 11, 12, 0, 0, 0]
+    assert list(dst[1]) == [35, 36, 37, 38, 39, 0]
+    err = capsys.readouterr().err
+    assert 'WARNING' in err and 'gather_rows' in err
+
+
+def test_gather_rows_fallback_matches_native():
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 255, 500).astype(np.uint8)
+    starts = rng.integers(0, 400, 20).astype(np.int64)
+    counts = rng.integers(0, 64, 20).astype(np.int64)
+    rows = np.arange(20, dtype=np.int64)
+    d_native = np.full((20, 64), 7, np.uint8)
+    native.gather_rows_native(src, starts, counts, rows, d_native)
+    d_fb = np.full((20, 64), 7, np.uint8)
+    flat = src.reshape(-1)
+    for s, c, r in zip(starts, counts, rows):
+        d_fb[r, :c] = flat[s:s + c]
+        d_fb[r, c:] = 0
+    assert (d_native == d_fb).all()
+
+
+def test_chain_scores_fallback_warns_once(monkeypatch, capsys):
+    """When the native chain engine is unavailable the capped numpy path
+    must warn loudly exactly once per process (VERDICT item 8)."""
+    from swiftortho_tpu.config import SearchConfig
+    from swiftortho_tpu.io_fasta import SeqDB, write_fasta
+    from swiftortho_tpu.ops.index import build_index
+    from swiftortho_tpu.search.candidates import generate_candidates
+
+    def boom(*a, **k):
+        raise RuntimeError('no compiler')
+    monkeypatch.setattr(native, 'chain_scores_native', boom)
+
+    import tempfile
+    import os
+    seq = ('MKVLATTLLGAGIALSHAQETKVVDKFGREVELPAEPKRIVSLSPSNTEILFALGLEDKV'
+           'VGVTSFSDYPPEAKAIPRVGGYTSVNLEKILALKPDLVLAWRGGNAERQVDQLASLGIKI'
+           'FYSDPKRLEDIPDTLRRLGQLFGREQQAEALVAKSEAELAAVQAKAQQLPRKRVFYQLWD')
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, 'x.fsa')
+        write_fasta(p, [('t1|a', seq), ('t2|b', seq[3:] + 'AAA')])
+        db = SeqDB.from_path(p)
+        cfg = SearchConfig()
+        ix = build_index(db, 0, 2, cfg.resolved_alphabets(), cfg.seeds,
+                         cfg.nc, cfg.step)
+        toks, lens = db.padded_batch(np.arange(2), 256)
+        for _ in range(2):
+            generate_candidates(toks, lens, db, ix,
+                                cfg.resolved_alphabets(), cfg.seeds)
+    err = capsys.readouterr().err
+    assert err.count('WARNING') == 1
+    assert 'chain_scores' in err and 'capped' in err
+
+
+def test_native_hash_invalidation(tmp_path, monkeypatch):
+    """A .so whose recorded hash does not match the sources is rebuilt."""
+    import swiftortho_tpu.native as n
+    assert n._valid()          # freshly built by other tests
+    with open(n._HASH, 'w') as f:
+        f.write('deadbeef')
+    assert not n._valid()
+    # load() must rebuild and restore validity
+    monkeypatch.setattr(n, '_lib', None)
+    n.load()
+    assert n._valid()

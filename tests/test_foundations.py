@@ -68,10 +68,18 @@ class TestKAStats:
         assert f2s(1.0) == '1.0'
         # truncated-mantissa scientific format below 1e-3
         assert f2s(1.6012e-105) == '1.60e-105'
-        # fp truncation artifact faithfully reproduced (mantissa cut, not
-        # rounded): log10 puts 5e-5 at 4.999..e-5
-        assert f2s(5e-5) == '4.99e-5'
+        # py2 str(float) semantics (12 sig digits): 10**log10(5e-5) lands at
+        # 4.9999999999999996, which py2 prints as '5.0' (py3's shortest repr
+        # would give '4.999...' and truncate to '4.99' — the reference ran
+        # under RPython/py2, so '5.0e-5' is the faithful output)
+        assert f2s(5e-5) == '5.0e-5'
         assert f2s(9.999e-10).endswith('e-10')
+        # shortest-repr vs 12-digit divergence: py2 prints 3.1, py3 would
+        # print 3.0999999999999996 and truncate to 3.09
+        from swiftortho_tpu.ops.stats import py2_float_str
+        assert py2_float_str(3.0999999999999996) == '3.1'
+        assert py2_float_str(3.0) == '3.0'
+        assert py2_float_str(1e22) == '1e+22'
 
 
 class TestFasta:

@@ -26,11 +26,22 @@ from ..io_fasta import SeqDB
 
 def build_matrix(db: SeqDB, cluster_lines: Iterable[str],
                  ts: float = 0.05, tc: float = 0.95, sep: str = '|',
-                 tax_allow: set | None = None):
-    """Returns (taxon_list, group_names, types, counts (G,N), spec/shar/core)."""
+                 tax_allow: set | None = None,
+                 taxon_order: List[str] | None = None):
+    """Returns (taxon_list, group_names, types, counts (G,N), spec/shar/core).
+
+    taxon_order: explicit column order for the taxon axis.  The reference
+    derives its column order from python set iteration (scripts/
+    pan_genome.py:95-103), which is hash-dependent; we default to
+    first-appearance order (named deviation) but accept an explicit order
+    so the parity tests can reproduce the reference's columns exactly.
+    """
     taxa_all = db.taxa(sep)
     taxon_list = []
     seen = set()
+    if taxon_order is not None:
+        taxon_list = list(taxon_order)
+        seen = set(taxon_list)
     for t in taxa_all:
         if tax_allow and t not in tax_allow:
             continue
@@ -144,9 +155,10 @@ def fit_curve(f, X, Y, alpha=0.05, bounds=None):
 
 def pan_report(db: SeqDB, cluster_lines: Iterable[str], out: IO[str],
                ts: float = 0.05, tc: float = 0.95, sep: str = '|',
-               tax_allow: set | None = None, rare_size: int = 20):
+               tax_allow: set | None = None, rare_size: int = 20,
+               taxon_order: List[str] | None = None):
     taxon_list, names, types, mat, (spec, shar, core) = build_matrix(
-        db, cluster_lines, ts, tc, sep, tax_allow)
+        db, cluster_lines, ts, tc, sep, tax_allow, taxon_order)
     N = len(taxon_list)
     pm = chr(177)
     k_, t_, w_, theta, r_ = (chr(954), chr(964), chr(969), chr(952),

@@ -5,10 +5,16 @@ fc2mat parsing (:767-858): 3-col xyz or 4-col (REL x y w) input; rows with
 x > y skipped (the graph is already two-directional upstream); duplicate
 (x, y) rows: last weight wins (reference lil_matrix assignment).
 
-Deviation (documented): the reference's out-of-core ``cnc`` drops every
-edge whose final component id is 0 (`if cx and cy` treats id 0 as falsy,
-find_cluster.py:1612), silently losing one whole component per run.  We
-cluster all components.
+The mcl path partitions the graph with the reference's exact cnc
+decomposition (components.cnc_labels — mutual-NN coarsening with the
+falsy-coarse-id-0 severing quirk, find_cluster.py:1470-1593), so bridge
+edges the reference drops are dropped here too and partitions match.
+
+Deviation (documented): the reference additionally drops every edge whose
+FINAL component id is 0 (`if cx and cy` treats id 0 as falsy,
+find_cluster.py:1611-1612), silently losing one whole component per run.
+We cluster that component too; our output is a superset of the
+reference's by exactly its clusters.
 """
 
 from __future__ import annotations
@@ -70,8 +76,11 @@ def find_cluster_stream(lines: Iterable[str],
     if n == 0:
         return
     if cfg.algorithm == 'mcl':
+        from .components import cnc_labels
+        labels = cnc_labels(n, ei, ej, w)
         clusters = mcl_cluster(n, ei, ej, w, inflation=cfg.inflation,
-                               prune=cfg.prune, max_dense=cfg.max_dense)
+                               prune=cfg.prune, max_dense=cfg.max_dense,
+                               labels=labels)
     elif cfg.algorithm in ('apc', 'sap'):
         clusters = apc_cluster(n, ei, ej, w, n_taxa, damp=cfg.damping)
     else:

@@ -104,8 +104,15 @@ def _mcl_sparse(mat, inflation, prune=1e-5, rtol=1e-5, atol=1e-8,
 
 def mcl_cluster(n: int, ei: np.ndarray, ej: np.ndarray, w: np.ndarray,
                 inflation: float = 1.5, prune: float = 1e-5,
-                max_dense: int = 4096) -> List[List[int]]:
+                max_dense: int = 4096,
+                labels: np.ndarray | None = None) -> List[List[int]]:
     """Cluster an undirected weighted edge list (node ids 0..n-1).
+
+    ``labels``: optional precomputed per-node component labels (e.g. the
+    reference-faithful ``components.cnc_labels``); edges whose endpoints
+    carry different labels are dropped, exactly like the reference's
+    `cx == cy` filter (find_cluster.py:1611-1612).  Default: plain
+    connected components (every edge kept).
 
     Returns clusters as lists of node ids (ascending), ordered by their
     smallest member.  Isolated nodes are not reported (the reference only
@@ -113,7 +120,16 @@ def mcl_cluster(n: int, ei: np.ndarray, ej: np.ndarray, w: np.ndarray,
     """
     if len(ei) == 0:
         return []
-    labels = connected_components(n, ei, ej)
+    if labels is None:
+        labels = connected_components(n, ei, ej)
+    else:
+        keep = labels[ei] == labels[ej]
+        ei, ej, w = ei[keep], ej[keep], w[keep]
+        if len(ei) == 0:
+            return []
+        # renumber labels to dense 0..k-1 (cnc labels include -1 and may
+        # skip ids once cross-label edges are dropped)
+        _, labels = np.unique(labels, return_inverse=True)
     ncomp = labels.max() + 1
 
     comp_nodes: Dict[int, np.ndarray] = {}

@@ -1,0 +1,228 @@
+"""Executable parity regression vs the runnable reference scripts.
+
+The reference's downstream stages (bin/find_orth.py, bin/find_cluster.py,
+scripts/get_rbh.py, scripts/operon_cluster.py, scripts/pan_genome.py) are
+plain Python 3 and runnable in this container.  These tests shell out to
+them on a shared synthetic corpus + hit table and diff against our
+implementations, so the "byte-identical" claims in PARITY.md are enforced
+by CI instead of living only in docs.
+
+Reference subprocesses run with PYTHONPATH=tests/ref_shims, which provides
+(a) a bare @jit numba shim (find_cluster.py:7-14), (b) a minimal Bio.SeqIO
+(pan_genome.py), and (c) a sitecustomize that restores the numpy names old
+scipy re-exported (pan_genome.py:8-9) and keeps reference subprocesses off
+the TPU tunnel.
+
+The search stage itself has no runnable reference (fsearch-c needs the
+RPython toolchain, absent here); the shared .sc comes from our host-path
+search and both sides consume it identically.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = '/root/reference'
+SHIMS = os.path.join(REPO, 'tests', 'ref_shims')
+
+# our CLIs: cpu platform, repo on the path
+OUR_ENV = dict(os.environ, JAX_PLATFORMS='cpu', SWIFTORTHO_PLATFORM='cpu',
+               PYTHONPATH=REPO)
+# reference scripts: shims first, fixed hash seed so set-iteration orders
+# (taxon columns, operon edge order) are reproducible across runs
+REF_ENV = dict(os.environ, PYTHONPATH=SHIMS, PYTHONHASHSEED='0')
+REF_ENV.pop('JAX_PLATFORMS', None)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason='reference checkout not present')
+
+
+def run_ours(args, cwd, timeout=600):
+    r = subprocess.run([sys.executable, '-m'] + args, env=OUR_ENV,
+                       capture_output=True, text=True, timeout=timeout,
+                       cwd=cwd)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def run_ref(script, args, cwd, timeout=600):
+    r = subprocess.run([sys.executable, os.path.join(REF, script)] + args,
+                       env=REF_ENV, capture_output=True, text=True,
+                       timeout=timeout, cwd=cwd)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+@pytest.fixture(scope='module')
+def work(tmp_path_factory):
+    """corpus + hit table + operon file shared by every parity test."""
+    from swiftortho_tpu.corpus import make_corpus, write_corpus
+
+    p = tmp_path_factory.mktemp('refparity')
+    fsa = str(p / 'c.fsa')
+    corpus = make_corpus(n_taxa=4, n_families=40, seed=7,
+                         min_len=60, max_len=150)
+    write_corpus(fsa, corpus)
+
+    # operons: per taxon, consecutive genes in blocks of 5, alternating
+    # strand notation (--> / <--) like real operon call tables
+    by_tax = {}
+    for head, _ in corpus.records:
+        gid = head.split()[0]
+        by_tax.setdefault(gid.split('|')[0], []).append(gid)
+    op = str(p / 'c.operon')
+    with open(op, 'w') as fh:
+        fh.write('gene_id\toperon\n')
+        for tax in sorted(by_tax):
+            genes = by_tax[tax]
+            for ci, st in enumerate(range(0, len(genes) - 4, 5)):
+                sep = '-->' if ci % 2 == 0 else '<--'
+                fh.write(sep.join(genes[st:st + 5]) + '\n')
+
+    sc = str(p / 'c.sc')
+    r = subprocess.run(
+        [sys.executable, '-m', 'swiftortho_tpu.cli.find_hit', '-p', 'blastp',
+         '-i', fsa, '-d', fsa, '-o', sc, '-e', '1e-5', '-M', '262144'],
+        env=OUR_ENV, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(sc) > 0
+    return {'dir': p, 'fsa': fsa, 'sc': sc, 'operon': op}
+
+
+@pytest.fixture(scope='module')
+def orth_pair(work):
+    """(ref_orth_path, our_orth_text) with the default no-normalization."""
+    d = work['dir'] / 'orth_no'
+    d.mkdir()
+    sc = str(d / 'c.sc')
+    os.link(work['sc'], sc)
+    ref_out = run_ref('bin/find_orth.py', ['-i', sc, '-c', '0.5', '-y', '0'],
+                      cwd=str(d))
+    ours = run_ours(['swiftortho_tpu.cli.find_orth', '-i', work['sc'],
+                     '-c', '0.5', '-y', '0'], cwd=str(work['dir']))
+    path = work['dir'] / 'ref.orth'
+    path.write_text(ref_out)
+    return str(path), ours
+
+
+class TestFindOrth:
+    def test_byte_identical_default(self, orth_pair):
+        ref_path, ours = orth_pair
+        assert open(ref_path).read() == ours
+
+    @pytest.mark.parametrize('norm', ['bsr', 'bal'])
+    def test_byte_identical_norm(self, work, norm):
+        d = work['dir'] / ('orth_' + norm)
+        d.mkdir()
+        sc = str(d / 'c.sc')
+        os.link(work['sc'], sc)
+        ref_out = run_ref('bin/find_orth.py',
+                          ['-i', sc, '-c', '0.5', '-y', '0', '-n', norm],
+                          cwd=str(d))
+        ours = run_ours(['swiftortho_tpu.cli.find_orth', '-i', work['sc'],
+                         '-c', '0.5', '-y', '0', '-n', norm],
+                        cwd=str(work['dir']))
+        assert ref_out == ours
+
+    def test_outofcore_matches(self, work, orth_pair):
+        ref_path, _ = orth_pair
+        ours = run_ours(['swiftortho_tpu.cli.find_orth', '-i', work['sc'],
+                         '-c', '0.5', '-y', '0', '-L', 'y'],
+                        cwd=str(work['dir']))
+        assert open(ref_path).read() == ours
+
+
+def _groups(text):
+    return [frozenset(l.split('\t')) for l in text.splitlines() if l.strip()]
+
+
+class TestFindClusterMCL:
+    def test_partitions(self, work, orth_pair):
+        ref_orth, _ = orth_pair
+        d = work['dir'] / 'mcl'
+        d.mkdir()
+        orth = str(d / 'c.orth')
+        os.link(ref_orth, orth)
+        ref_out = run_ref('bin/find_cluster.py',
+                          ['-i', orth, '-a', 'mcl', '-I', '1.5'], cwd=str(d))
+        ours = run_ours(['swiftortho_tpu.cli.find_cluster', '-i', ref_orth,
+                         '-a', 'mcl', '-I', '1.5'], cwd=str(work['dir']))
+        ref_set = set(_groups(ref_out))
+        our_set = set(_groups(ours))
+        # documented deviation: the reference drops every edge whose merged
+        # component id is 0 (`if cx and cy` — falsy int, find_cluster.py
+        # :1611-1612), losing one whole component; we cluster it.  So our
+        # groups are a superset, and the extras touch no reference gene.
+        assert ref_set <= our_set, (
+            'ref-only groups: %r' % [sorted(g) for g in ref_set - our_set])
+        ref_genes = set().union(*ref_set) if ref_set else set()
+        for g in our_set - ref_set:
+            assert not (g & ref_genes), sorted(g & ref_genes)
+        (work['dir'] / 'ref.mcl').write_text(ref_out)
+
+
+class TestGetRbh:
+    def test_sorted_identical(self, work):
+        ref_out = run_ref('scripts/get_rbh.py', [work['sc']],
+                          cwd=str(work['dir']))
+        ours = run_ours(['swiftortho_tpu.cli.scripts', 'get_rbh',
+                         work['sc']], cwd=str(work['dir']))
+        # the reference iterates a python set when emitting (get_rbh.py),
+        # so only line order is unspecified — content must match exactly
+        assert sorted(ref_out.splitlines()) == sorted(ours.splitlines())
+
+
+class TestOperonCluster:
+    def test_sorted_identical(self, work, orth_pair):
+        ref_orth, _ = orth_pair
+        mcl = work['dir'] / 'ref.mcl'
+        if not mcl.exists():
+            ref_out = run_ref('bin/find_cluster.py',
+                              ['-i', ref_orth, '-a', 'mcl', '-I', '1.5'],
+                              cwd=str(work['dir']))
+            mcl.write_text(ref_out)
+        ref_out = run_ref('scripts/operon_cluster.py',
+                          ['-g', str(mcl), '-p', work['operon']],
+                          cwd=str(work['dir']))
+        ours = run_ours(['swiftortho_tpu.cli.scripts', 'operon_cluster',
+                         '-g', str(mcl), '-p', work['operon']],
+                        cwd=str(work['dir']))
+        assert sorted(ref_out.splitlines()) == sorted(ours.splitlines())
+
+
+class TestPanGenome:
+    def test_byte_identical_given_taxon_order(self, work, orth_pair):
+        """The reference's taxon column order is python-set-hash order
+        (pan_genome.py:95-103); with that order supplied, our whole report
+        — matrix, rarefaction, curve fits, formatting — must match
+        byte-for-byte."""
+        import io
+
+        from swiftortho_tpu.analysis.pan_genome import pan_report
+        from swiftortho_tpu.io_fasta import SeqDB
+
+        ref_orth, _ = orth_pair
+        mcl = work['dir'] / 'ref.mcl'
+        if not mcl.exists():
+            out = run_ref('bin/find_cluster.py',
+                          ['-i', ref_orth, '-a', 'mcl', '-I', '1.5'],
+                          cwd=str(work['dir']))
+            mcl.write_text(out)
+        d = work['dir'] / 'pan'
+        d.mkdir()
+        ref_out = run_ref('scripts/pan_genome.py',
+                          ['-i', work['fsa'], '-g', str(mcl)], cwd=str(d))
+        order = None
+        for line in ref_out.splitlines():
+            if line.startswith('#family'):
+                order = line.split('\t')[2:]
+        assert order, 'no #family header in reference pan output'
+
+        db = SeqDB.from_path(work['fsa'])
+        buf = io.StringIO()
+        with open(mcl) as fh:
+            pan_report(db, fh, buf, taxon_order=order)
+        assert buf.getvalue() == ref_out

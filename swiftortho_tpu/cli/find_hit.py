@@ -45,11 +45,14 @@ def main(argv=None):
             manual_print()
             return 1
         from ..io_fasta import SeqDB
-        from ..search.blastp import make_db
+        from ..ops.index import save_index
+        from ..search.blastp import IndexSource
         cfg = SearchConfig(seeds=args['-s'], alphabet=args['-r'],
                            step=int(args['-j']), nc=int(args['-M']),
                            chunk=int(args['-c']))
-        make_db(SeqDB.from_path(args['-i']), cfg, out_prefix=args['-i'])
+        src = IndexSource.from_build(SeqDB.from_path(args['-i']), cfg)
+        for ci, ix in enumerate(src):          # one chunk resident at a time
+            save_index('%s.%d.npz' % (args['-i'], ci), ix)
         return 0
     if args['-p'] != 'blastp' or not args['-i'] or not args['-d']:
         manual_print()
@@ -66,7 +69,8 @@ def main(argv=None):
                    db_prefix=args['-D'],
                    q_start=int(args['-l']), q_end=int(args['-u']),
                    r_start=int(args['-L']), r_end=int(args['-U']),
-                   append=args['-O'].startswith('a'))
+                   append=args['-O'].startswith('a'),
+                   spill_dir=args['-T'] or None)
     return 0
 
 

@@ -140,24 +140,90 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
     return out
 
 
+class IndexSource:
+    """Chunk-index provider that keeps AT MOST ONE chunk index resident —
+    the TPU analog of the reference's disk-resident ``find_msav_dsk``
+    (lib/fsearch.py:2727-2805): every iteration materializes one chunk,
+    hands it out, and drops it before the next.
+
+    ``max_resident`` is instrumented so tests can assert bounded memory.
+    """
+
+    def __init__(self, n_chunks: int, get, track: bool = True):
+        self.n_chunks = n_chunks
+        self._get = get
+        self._track = track
+        self.resident = 0 if track else n_chunks
+        self.max_resident = self.resident
+
+    def __len__(self):
+        return self.n_chunks
+
+    def __iter__(self):
+        import weakref
+        for ci in range(self.n_chunks):
+            ix = self._get(ci)
+            if self._track:
+                self.resident += 1
+                self.max_resident = max(self.max_resident, self.resident)
+                weakref.finalize(ix, self._dec)
+            yield ix
+            del ix
+
+    def _dec(self):
+        self.resident -= 1
+
+    @classmethod
+    def from_list(cls, indexes: list) -> 'IndexSource':
+        # all chunks already resident in the caller's list: nothing to
+        # stream, instrumentation reports the honest worst case
+        return cls(len(indexes), lambda ci: indexes[ci], track=False)
+
+    @classmethod
+    def from_build(cls, ref: SeqDB, cfg: SearchConfig,
+                   r_start: int = 0, r_end: int = -1) -> 'IndexSource':
+        alphabets = cfg.resolved_alphabets()
+        chunk = cfg.effective_chunk()
+        D = len(ref)
+        r_start = min(max(0, r_start), D)
+        r_end = D if r_end < 0 else min(r_end, D)
+        starts = list(range(r_start, r_end, chunk))
+
+        def get(ci):
+            cst = starts[ci]
+            return build_index(ref, cst, min(cst + chunk, r_end), alphabets,
+                               cfg.seeds, cfg.nc, cfg.step,
+                               threshold_override=cfg.threshold)
+
+        return cls(len(starts), get)
+
+    @classmethod
+    def from_disk(cls, prefix: str) -> 'IndexSource':
+        import glob
+
+        from ..ops.index import load_index
+
+        paths = sorted(glob.glob(prefix + '.*.npz'),
+                       key=lambda p: int(p.rsplit('.', 2)[-2]))
+        if not paths:
+            raise FileNotFoundError(
+                'no index files match %s.*.npz — check the -D prefix '
+                '(indexes are written by -p makedb)' % prefix)
+        return cls(len(paths), lambda ci: load_index(paths[ci]))
+
+
 def make_db(ref: SeqDB, cfg: SearchConfig, out_prefix: str = '',
             r_start: int = 0, r_end: int = -1) -> list:
     """Build (and optionally persist) chunk indexes over reference
     sequences [r_start, r_end) — the reference's `-p makedb` / formatted-db
     role with the -L/-U range (find_hit.py:282-283, fsearch.py
-    Fasta.makedb :2283-2295)."""
+    Fasta.makedb :2283-2295).  Materializes every chunk; prefer
+    ``IndexSource.from_build`` for bounded-memory streaming."""
     from ..ops.index import save_index
 
-    alphabets = cfg.resolved_alphabets()
-    chunk = cfg.effective_chunk()
-    D = len(ref)
-    r_start = min(max(0, r_start), D)
-    r_end = D if r_end < 0 else min(r_end, D)
+    src = IndexSource.from_build(ref, cfg, r_start, r_end)
     indexes = []
-    for ci, cst in enumerate(range(r_start, r_end, chunk)):
-        ix = build_index(ref, cst, min(cst + chunk, r_end), alphabets,
-                         cfg.seeds, cfg.nc, cfg.step,
-                         threshold_override=cfg.threshold)
+    for ci, ix in enumerate(src):
         if out_prefix:
             save_index('%s.%d.npz' % (out_prefix, ci), ix)
         indexes.append(ix)
@@ -165,25 +231,71 @@ def make_db(ref: SeqDB, cfg: SearchConfig, out_prefix: str = '',
 
 
 def load_db(prefix: str) -> list:
-    """Load chunk indexes persisted by make_db (the reference's -D path)."""
-    import glob
+    """Load chunk indexes persisted by make_db (the reference's -D path).
+    Materializes every chunk; prefer ``IndexSource.from_disk``."""
+    return list(IndexSource.from_disk(prefix))
 
-    from ..ops.index import load_index
 
-    paths = sorted(glob.glob(prefix + '.*.npz'),
-                   key=lambda p: int(p.rsplit('.', 2)[-2]))
-    if not paths:
-        raise FileNotFoundError(
-            'no index files match %s.*.npz — check the -D prefix '
-            '(indexes are written by -p makedb)' % prefix)
-    return [load_index(p) for p in paths]
+class CandidateSpill:
+    """Per-wave candidate accumulator for the chunk-major search phase —
+    the analog of the reference's packed tmp.array spill + KDB offset
+    table (fsearch.py:3006-3022).  RAM-backed by default; pass a
+    directory to spill each (wave, chunk) batch to an .npz on disk so
+    host memory stays bounded by one wave's candidates."""
+
+    FIELDS = ('qrow', 'subject', 'score', 'band_q', 'band_s')
+
+    def __init__(self, spill_dir: str | None = None):
+        self.dir = spill_dir
+        self._ram: dict = {}
+        self._paths: dict = {}
+        if spill_dir:
+            import os
+            os.makedirs(spill_dir, exist_ok=True)
+
+    def append(self, wave: int, cand: Candidates):
+        if self.dir is None:
+            self._ram.setdefault(wave, []).append(cand)
+        else:
+            import os
+            path = os.path.join(
+                self.dir, 'cand.%06d.%06d.npz'
+                % (wave, len(self._paths.setdefault(wave, []))))
+            np.savez(path, **{f: getattr(cand, f) for f in self.FIELDS})
+            self._paths[wave].append(path)
+
+    def take(self, wave: int) -> List[Candidates]:
+        """Return and release this wave's candidate batches."""
+        if self.dir is None:
+            return self._ram.pop(wave, [])
+        import os
+        out = []
+        for path in self._paths.pop(wave, []):
+            z = np.load(path)
+            out.append(Candidates(**{f: z[f] for f in self.FIELDS}))
+            os.remove(path)
+        return out
 
 
 def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
-                  indexes: list | None = None,
-                  q_start: int = 0, q_end: int = -1) -> Iterator[str]:
+                  indexes: 'list | IndexSource | None' = None,
+                  q_start: int = 0, q_end: int = -1,
+                  spill_dir: str | None = None) -> Iterator[str]:
     """Yield m8 rows for queries [q_start, q_end) in index order (the
-    reference's -l/-u range, fsearch.py:2980-2981)."""
+    reference's -l/-u range, fsearch.py:2980-2981).
+
+    Chunk-major two-phase structure, mirroring the reference driver
+    (fsearch.py:2988-3051): phase A iterates reference chunk indexes ONE
+    AT A TIME (at most one resident — the streaming/disk-resident story),
+    generating candidates for every query wave against that chunk and
+    spilling them per wave; phase B merges each wave's candidates across
+    chunks, ranks, aligns, applies the accept/early-stop policy, and
+    emits rows in query order.  Output is byte-identical to the old
+    wave-major loop (the per-wave merge across chunks is unchanged).
+
+    ``spill_dir``: spill candidates (and masked wave tokens) to disk so
+    phase A's memory is bounded by one chunk index + one wave.
+    """
     alphabets = cfg.resolved_alphabets()
     D = len(ref)
     nq = len(qry)
@@ -200,26 +312,65 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
 
     vmax = int(max(100, max(cfg.v + 100, cfg.v * 1.1)))
 
-    # chunk indexes are wave-invariant: build once (the reference rebuilds
-    # per worker process, fsearch.py:2990 — in-process we can reuse)
     if indexes is None:
-        indexes = make_db(ref, cfg)
+        source = IndexSource.from_build(ref, cfg)
+    elif isinstance(indexes, IndexSource):
+        source = indexes
+    else:
+        source = IndexSource.from_list(indexes)
 
     import time as _time
 
     from ..utils import log_event
 
-    for wst in range(q_start, q_end, cfg.query_batch):
-        _t0 = _time.time()
-        wend = min(wst + cfg.query_batch, q_end)
+    waves = [(wst, min(wst + cfg.query_batch, q_end))
+             for wst in range(q_start, q_end, cfg.query_batch)]
+
+    # ---- phase A: chunk-major candidate generation ----
+    spill = CandidateSpill(spill_dir)
+    masked: dict = {}            # wave -> (toks, lens) | path
+
+    def wave_tokens(wi):
+        wst, wend = waves[wi]
+        if wi in masked:
+            v = masked[wi]
+            if isinstance(v, str):
+                z = np.load(v)
+                return z['toks'], z['lens']
+            return v
         idx = np.arange(wst, wend, dtype=np.int64)
         toks, lens = _mask_queries(qry, idx, pad, cfg.filter_query)
+        if spill_dir is not None:
+            import os
+            path = os.path.join(spill_dir, 'wave.%06d.npz' % wi)
+            np.savez(path, toks=toks, lens=lens)
+            masked[wi] = path
+        else:
+            masked[wi] = (toks, lens)
+        return toks, lens
+
+    _tA0 = _time.time()
+    for index in source:
+        for wi in range(len(waves)):
+            toks, lens = wave_tokens(wi)
+            spill.append(wi, generate_candidates(toks, lens, ref, index,
+                                                 alphabets, cfg.seeds))
+        del index
+    log_event('search_phaseA', chunks=len(source), waves=len(waves),
+              max_resident_indexes=source.max_resident,
+              cand_s=round(_time.time() - _tA0, 2))
+
+    # ---- phase B: per-wave merge, rank, align, policy, emit ----
+    for wi, (wst, wend) in enumerate(waves):
+        _t0 = _time.time()
+        toks, lens = wave_tokens(wi)
+        if isinstance(masked.get(wi), str):
+            import os
+            os.remove(masked[wi])
+        masked.pop(wi, None)
         _t_seg = _time.time()
 
-        cands: List[Candidates] = []
-        for index in indexes:
-            cands.append(generate_candidates(toks, lens, ref, index,
-                                             alphabets, cfg.seeds))
+        cands: List[Candidates] = spill.take(wi)
         _t_cand = _time.time()
 
         qrow = np.concatenate([c.qrow for c in cands])
@@ -435,21 +586,24 @@ def _align_long_pair(q_tokens, q_lengths, ref: SeqDB, qrow: int, sid: int,
 def blastp_to_file(qry_path: str, ref_path: str, out: IO[str] | str,
                    cfg: SearchConfig | None = None,
                    db_prefix: str = '', q_start: int = 0, q_end: int = -1,
-                   r_start: int = 0, r_end: int = -1, append: bool = False):
+                   r_start: int = 0, r_end: int = -1, append: bool = False,
+                   spill_dir: str | None = None):
     cfg = cfg or SearchConfig()
     qry = SeqDB.from_path(qry_path)
     ref = SeqDB.from_path(ref_path)
     if db_prefix:
-        indexes = load_db(db_prefix)
+        indexes = IndexSource.from_disk(db_prefix)
     elif r_start > 0 or r_end >= 0:
-        indexes = make_db(ref, cfg, r_start=r_start, r_end=r_end)
+        indexes = IndexSource.from_build(ref, cfg, r_start=r_start,
+                                         r_end=r_end)
     else:
         indexes = None
     fh = open(out, 'a' if append else 'w') if isinstance(out, str) else out
     try:
         buf = []
         for row in blastp_stream(qry, ref, cfg, indexes=indexes,
-                                 q_start=q_start, q_end=q_end):
+                                 q_start=q_start, q_end=q_end,
+                                 spill_dir=spill_dir):
             buf.append(row)
             if len(buf) >= 10000:
                 fh.write(''.join(buf))

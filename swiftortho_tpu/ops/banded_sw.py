@@ -385,6 +385,14 @@ def sw_align_auto(tok0, tok1, len0, len1, score_only=False):
     """
     import jax as _jax
 
+    # an active search mesh (parallel.mesh.use_search_mesh) overrides the
+    # single-device dispatch: pairs shard over every mesh device.  Lazy
+    # import (parallel.mesh imports this module at load time).
+    from ..parallel import mesh as _meshmod
+    m = _meshmod.active_search_mesh()
+    if m is not None:
+        return _meshmod.sw_align_sharded(m, tok0, tok1, len0, len1)
+
     B = tok0.shape[0]
     platform = _jax.default_backend()
     if platform in ('tpu', 'axon'):

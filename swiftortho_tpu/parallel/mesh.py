@@ -14,8 +14,7 @@ Collectives ride ICI via jax.sharding + jit; no NCCL/MPI analog needed.
 
 from __future__ import annotations
 
-
-
+from contextlib import contextmanager
 
 import numpy as np
 
@@ -25,6 +24,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.banded_sw import sw_align_batch
 from ..ops.seg import seg_batch
+
+# The active search mesh: when set (via use_search_mesh), the search
+# pipeline's device batches (sw_align_auto) run pjit-sharded over it
+# instead of single-device.  Module-global rather than threaded through
+# every call because the mesh is a per-run execution property, not a
+# per-batch argument (mirrors jax's own Mesh context manager design).
+_ACTIVE_MESH: Mesh | None = None
+
+
+def active_search_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
+@contextmanager
+def use_search_mesh(mesh: Mesh):
+    """Run the search pipeline's device compute sharded over `mesh`."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        with mesh:
+            yield mesh
+    finally:
+        _ACTIVE_MESH = prev
 
 
 def make_mesh(n_data: int | None = None, n_db: int = 1,
@@ -52,6 +75,48 @@ def sharded_align_fn(mesh: Mesh):
         out_shardings=NamedSharding(mesh, P(('data', 'db'))),
     )
     return fn, pair_sharding, vec_sharding
+
+
+_SHARDED_ALIGN_CACHE: dict = {}
+
+
+def sw_align_sharded(mesh: Mesh, tok0, tok1, len0, len1) -> dict:
+    """Batch alignment with the pair axis sharded over every mesh device
+    (('data','db') flattened — pure data parallelism over pairs, the mesh
+    analog of the reference's mp.Pool over per-range fsearch-c processes,
+    bin/find_hit.py:127-132).
+
+    Pads the batch to a pow2 multiple of the device count so repeat waves
+    reuse compiled executables; results are exact (padding rows align
+    empty suffixes and are dropped).
+    """
+    ndev = int(mesh.devices.size)
+    B = tok0.shape[0]
+    unit = ndev
+    n = -(-B // unit)
+    npow = 1
+    while npow < n:
+        npow *= 2
+    padB = npow * unit
+    if padB != B:
+        tok0 = np.pad(np.asarray(tok0), ((0, padB - B), (0, 0)))
+        tok1 = np.pad(np.asarray(tok1), ((0, padB - B), (0, 0)))
+        len0 = np.pad(np.asarray(len0), (0, padB - B))
+        len1 = np.pad(np.asarray(len1), (0, padB - B))
+
+    key = (id(mesh), tok0.shape[1], tok1.shape[1])
+    fn = _SHARDED_ALIGN_CACHE.get(key)
+    if fn is None:
+        psh = NamedSharding(mesh, P(('data', 'db'), None))
+        vsh = NamedSharding(mesh, P(('data', 'db')))
+        fn = jax.jit(sw_align_batch.__wrapped__,
+                     static_argnames=('kbound', 'go', 'ge'),
+                     in_shardings=(psh, psh, vsh, vsh),
+                     out_shardings=vsh)
+        _SHARDED_ALIGN_CACHE[key] = fn
+    with mesh:
+        out = fn(tok0, tok1, len0.astype(np.int32), len1.astype(np.int32))
+    return {k: np.asarray(v)[:B] for k, v in out.items()}
 
 
 def sharded_search_step(mesh: Mesh):
@@ -88,6 +153,32 @@ def sharded_search_step(mesh: Mesh):
         in_shardings=(qsh, qvec, psh, psh, pvec, pvec, pvec),
         out_shardings=(qsh, pvec, NamedSharding(mesh, P())),
     )
+
+
+def blastp_sharded(qry, ref, cfg, mesh: Mesh | None = None,
+                   q_start: int = 0, q_end: int = -1):
+    """All-vs-all search with the device compute sharded over `mesh` —
+    the multi-chip analog of the reference's process fan-out + merge
+    (bin/find_hit.py:107-151, :286-351).
+
+    - Query waves' alignment batches run pjit-sharded with the pair axis
+      over ('data','db') — every chip advances the same wave (P1).
+    - Reference chunk indexes stream through candidate generation in
+      chunk order (P2); per-wave candidate merge across chunks is the
+      host-side analog of the all-gather (device-side candidates land
+      with the device candidate path).
+    - Output rows are byte-identical to the single-device
+      ``blastp_stream`` (enforced by tests/test_parallel.py and the
+      driver's ``dryrun_multichip``).
+
+    Yields m8 rows in query order.
+    """
+    from ..search.blastp import blastp_stream
+
+    mesh = mesh or make_mesh()
+    with use_search_mesh(mesh):
+        yield from blastp_stream(qry, ref, cfg,
+                                 q_start=q_start, q_end=q_end)
 
 
 def demo_multichip(n_queries: int = 16, pad: int = 64,

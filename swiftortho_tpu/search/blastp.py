@@ -349,12 +349,23 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             masked[wi] = (toks, lens)
         return toks, lens
 
+    # candidate engine: host (vectorized numpy + native C++ chain) by
+    # default; SWIFTORTHO_CANDIDATES=device selects the jitted on-device
+    # path (identical output, tests/test_device_candidates.py) — the
+    # default follows the measured winner per platform (BASELINE.md).
+    import os as _os
+    if _os.environ.get('SWIFTORTHO_CANDIDATES', '') == 'device':
+        from .candidates_device import \
+            generate_candidates_device as _gen_cands
+    else:
+        _gen_cands = generate_candidates
+
     _tA0 = _time.time()
     for index in source:
         for wi in range(len(waves)):
             toks, lens = wave_tokens(wi)
-            spill.append(wi, generate_candidates(toks, lens, ref, index,
-                                                 alphabets, cfg.seeds))
+            spill.append(wi, _gen_cands(toks, lens, ref, index,
+                                        alphabets, cfg.seeds))
         del index
     log_event('search_phaseA', chunks=len(source), waves=len(waves),
               max_resident_indexes=source.max_resident,

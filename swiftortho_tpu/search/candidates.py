@@ -176,7 +176,8 @@ def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
     # qrow < 2^13 (driver batch size), sid < 2^21, |diag| < 2^13,
     # qst < 2^13 (padded query length); lexsort fallback otherwise
     if (len(sid) and sid.max() < (1 << 21) and p_qrow.max() < (1 << 13)
-            and q_tokens.shape[1] <= (1 << 13)):
+            and q_tokens.shape[1] <= (1 << 13)
+            and diag.min() >= -8192 and diag.max() < 8192):
         key = (((p_qrow << 21) | sid) << 14 | (diag + 8192)) << 13 | p_qst
         order = np.argsort(key, kind='stable')
     else:

@@ -1,0 +1,416 @@
+"""On-device candidate generation (jit): seed hashing, budget filter,
+posting expansion, diagonal grouping, and x-drop chain scoring as XLA
+programs — the TPU-native reading of the reference ``find_msav_m``
+(lib/fsearch.py:2645-2724) designed in SURVEY.md §7:
+
+- spaced-seed FNV hashing as vectorized u32 ops over static shifted
+  slices (reference spseeds_fnv :519-556);
+- the self-score seed budget as a per-row key sort + exclusive cumsum
+  (reference :2647-2677);
+- posting expansion via an inclusive-cumsum + searchsorted flat
+  expansion into a fixed pow2 capacity (reference get_locs_m :2638-2642);
+- (query, subject, diagonal) grouping as a sort on packed 61-bit keys
+  (reference dict grouping :2679-2691);
+- chain scoring as a lockstep while_loop over per-group pointers with
+  full-width x-drop windows (reference ungap/get_ungap_scores
+  :2454-2510) — windows span the whole padded query length, so unlike
+  the capped numpy fallback this path is EXACT (an extension never
+  outruns the query, both indices advance together).
+
+Exactness notes:
+- duplicate (group, qst) postings are NOT pre-deduplicated: a duplicate
+  point is always <= the running cover bound after its twin extends, so
+  the drain step skips it and it contributes exactly 0 — identical to
+  the host path's explicit dedup.
+- the final min-score gate / best-per-subject selection runs on the
+  HOST via the same ``_finish_candidates`` as the numpy path (tiny
+  arrays by then), so tie-break semantics are shared by construction.
+
+The heavy arrays (CSR start, postings, db tokens) are transferred to
+device once per chunk index and cached on the SeedIndex instance.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import B62_BYTES, XDROP, reduced_alphabet_table
+from ..io_fasta import SeqDB
+from ..ops.index import SeedIndex
+from ..ops.seeds import FNV_BASIS, FNV_PRIME, parse_patterns
+from .candidates import Candidates, _finish_candidates
+
+_XL, _XU = ord('x'), ord('X')
+NEG_STEP = -(1 << 19)       # invalid-step sentinel: cumsum over W stays i32
+NEG_INF = -(1 << 29)
+GB = 2048                   # groups per chain-scoring block
+
+
+def _patterns_static(alphabets: tuple, ssps: str):
+    """Static (alpha_idx, pattern_idx, klen, ones) streams, in the host
+    path's concatenation order (alphabet-major, pattern within)."""
+    out = []
+    pats = parse_patterns(ssps)
+    for ai in range(len(alphabets)):
+        for s, (klen, ones) in enumerate(pats):
+            out.append((ai, s, klen, tuple(int(x) for x in ones)))
+    return tuple(out)
+
+
+# constant tables cached as NUMPY (a jnp.asarray cached under lru_cache
+# and first materialized inside a trace would leak a tracer)
+@lru_cache(maxsize=None)
+def _tables(alphabets: tuple):
+    return np.stack([reduced_alphabet_table(a) for a in alphabets]) \
+        .astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def _b62_flat():
+    return B62_BYTES.reshape(-1).astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def _b62_diag():
+    return np.array([int(B62_BYTES[i, i]) for i in range(256)], np.int32)
+
+
+@partial(jax.jit, static_argnames=('streams',))
+def _stage1_seeds(q_tokens, q_lengths, code_tbls, start_i32, nc_u32,
+                  threshold, streams: tuple):
+    """Dense seed hashing + per-pattern dedup + budget filter.
+
+    Returns (buckets (S,B,L) i32, kept (S,B,L) bool, counts (S,B,L) i32,
+    total i64) — all device-resident; only `total` is fetched.
+    """
+    B, L = q_tokens.shape
+    toks = q_tokens.astype(jnp.int32)
+    is_x = (toks == _XL) | (toks == _XU)
+    lens = q_lengths.astype(jnp.int32)
+    pos = jnp.arange(L, dtype=jnp.int32)
+
+    def shifted(a, j, fill):
+        # a[:, p + j] for all p, static j (pad tail)
+        return jnp.concatenate(
+            [a[:, j:], jnp.full((B, j), fill, a.dtype)], axis=1) \
+            if j else a
+
+    buckets, valid = [], []
+    for (ai, s, klen, ones) in streams:
+        codes = jnp.take(code_tbls[ai], toks, axis=0)
+        h = jnp.full((B, L), np.uint32(FNV_BASIS))
+        for j in ones:
+            h = (h ^ shifted(codes, j, 0).astype(jnp.uint32)) \
+                * np.uint32(FNV_PRIME)
+        h = (h ^ np.uint32(s)) * np.uint32(FNV_PRIME)
+        b = (h % nc_u32).astype(jnp.int32)
+        bad = jnp.zeros((B, L), bool)
+        for j in range(klen):
+            bad = bad | shifted(is_x, j, True)
+        ok = (~bad) & (pos[None, :] <= lens[:, None] - klen)
+        buckets.append(b)
+        valid.append(ok)
+    buckets = jnp.stack(buckets)            # (S, B, L)
+    valid = jnp.stack(valid)
+
+    # dedup (bucket, pos) across patterns within one alphabet, keep the
+    # earliest stream (reference visit dict, fsearch.py:554-556)
+    kept = valid
+    for i2, (a2, _, _, _) in enumerate(streams):
+        for i1, (a1, _, _, _) in enumerate(streams[:i2]):
+            if a1 != a2:
+                continue
+            dup = valid[i1] & valid[i2] & (buckets[i1] == buckets[i2])
+            kept = kept.at[i2].set(kept[i2] & ~dup)
+
+    counts = jnp.where(
+        kept,
+        jnp.take(start_i32, jnp.where(kept, buckets, 0) + 1)
+        - jnp.take(start_i32, jnp.where(kept, buckets, 0)),
+        0).astype(jnp.int32)
+
+    # self-score budget (reference :2645-2677): per-position histogram of
+    # posting counts, ranked by mink-window BLOSUM62 self-score desc
+    # (ties: position asc), kept while the exclusive cumsum <= thr*len
+    mink = min(k for (_, _, k, _) in streams)
+    diag_self = jnp.take(_b62_diag(), toks)
+    cs = jnp.concatenate([jnp.zeros((B, 1), jnp.int32),
+                          jnp.cumsum(diag_self, axis=1, dtype=jnp.int32)],
+                         axis=1)
+    # window self-scores padded back to L columns (positions beyond the
+    # last full window carry 0 posting counts, so their order is moot)
+    ksc = jnp.concatenate(
+        [cs[:, mink:] - cs[:, :-mink],
+         jnp.zeros((B, mink - 1), jnp.int32)], axis=1)
+    hist = jnp.sum(counts, axis=0).astype(jnp.int64)      # (B, L)
+    key = (jnp.int32(4096) - ksc) * jnp.int32(8192) + pos[None, :]
+    order = jnp.argsort(key, axis=1)
+    sorted_hist = jnp.take_along_axis(hist, order, axis=1)
+    excl = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int64),
+         jnp.cumsum(sorted_hist[:, :-1], axis=1)], axis=1)
+    # threshold and lengths are integers, so the host's float64
+    # `excl <= thr*len` comparison is exactly this integer one
+    budgets = threshold.astype(jnp.int64) * lens.astype(jnp.int64)
+    keep_sorted = excl <= budgets[:, None]
+    keep_pos = jnp.zeros((B, L), bool).at[
+        jnp.arange(B)[:, None], order].set(keep_sorted)
+    kept = kept & keep_pos[None, :, :]
+    counts = jnp.where(kept, counts, 0)
+    total = jnp.sum(counts.astype(jnp.int64))
+    return buckets, kept, counts, total
+
+
+def _walk(qtok_flat, db_tokens, b62, L, W, qrow, s_off,
+          start_q, start_s, step, base, qlo, slo, qlen, slen):
+    """One-direction windowed x-drop (ungap semantics, fsearch.py
+    :2454-2494): each in-bounds step adds its substitution score; stop
+    after the first step whose running total drops more than XDROP below
+    the running max; out-of-bounds stops before the step."""
+    G = qrow.shape[0]
+    t = jnp.arange(W, dtype=jnp.int32)[None, :]
+    qpos = start_q[:, None] + step * t
+    spos = start_s[:, None] + step * t
+    valid = ((qpos > qlo[:, None]) & (qpos < qlen[:, None])
+             & (spos > slo[:, None]) & (spos < slen[:, None]))
+    qi = jnp.take(qtok_flat,
+                  qrow[:, None] * L + jnp.clip(qpos, 0, L - 1))
+    sj = jnp.take(db_tokens,
+                  jnp.clip(s_off[:, None] + spos, 0,
+                           db_tokens.shape[0] - 1))
+    dvals = jnp.take(b62, qi * 256 + sj)
+    d = jnp.where(valid, dvals, jnp.int32(NEG_STEP))
+    sums = base[:, None] + jnp.cumsum(d, axis=1, dtype=jnp.int32)
+    runmax = jax.lax.cummax(
+        jnp.concatenate([base[:, None], sums[:, :-1]], axis=1), axis=1)
+    stopped = sums + XDROP < runmax
+    ended = stopped | ~valid
+    dead = jnp.concatenate(
+        [jnp.zeros((G, 1), bool),
+         jnp.cumsum(ended.astype(jnp.int32), axis=1)[:, :-1] > 0], axis=1)
+    alive_sums = jnp.where(dead | ~valid, jnp.int32(NEG_INF), sums)
+    best = jnp.maximum(base, jnp.max(alive_sums, axis=1))
+    best_t = jnp.where(best > base,
+                       jnp.argmax(alive_sums, axis=1).astype(jnp.int32),
+                       jnp.int32(-1))
+    return best, best_t
+
+
+@partial(jax.jit, static_argnames=('C', 'L', 'W'))
+def _stage2_expand_chain(buckets, kept, counts, q_tokens, q_lengths,
+                         start_i32, sid_i32, sst_i32,
+                         db_tokens, db_offsets, total,
+                         C: int, L: int, W: int):
+    """Posting expansion into capacity C, packed-key grouping, lockstep
+    chain scoring.  Returns per-group (qrow, sid, diag, score, valid)."""
+    S, B, _ = buckets.shape
+    b_flat = buckets.reshape(-1)
+    c_flat = counts.reshape(-1).astype(jnp.int32)
+    cum = jnp.cumsum(c_flat, dtype=jnp.int32)              # inclusive
+    excl = cum - c_flat
+
+    o = jnp.arange(C, dtype=jnp.int32)
+    valid_o = o < total.astype(jnp.int32)
+    seed_of = jnp.searchsorted(cum, o, side='right').astype(jnp.int32)
+    seed_of = jnp.clip(seed_of, 0, S * B * L - 1)
+    bucket_o = jnp.take(b_flat, seed_of)
+    within = o - jnp.take(excl, seed_of)
+    slot = jnp.take(start_i32, bucket_o) + within
+    slot = jnp.clip(slot, 0, sid_i32.shape[0] - 1)
+    sid_o = jnp.take(sid_i32, slot).astype(jnp.int32)
+    sst_o = jnp.take(sst_i32, slot).astype(jnp.int32)
+    qrow_o = (seed_of % (B * L)) // L
+    qst_o = seed_of % L
+    diag_o = qst_o - sst_o
+
+    # packed 61-bit key: qrow(13) sid(21) diag+8192(14) qst(13); invalid
+    # elements get the max key so they sort to the tail
+    key = ((((qrow_o.astype(jnp.int64) << 21) | sid_o.astype(jnp.int64))
+            << 14) | (diag_o.astype(jnp.int64) + 8192)) << 13 \
+        | qst_o.astype(jnp.int64)
+    key = jnp.where(valid_o, key, jnp.int64(2 ** 62))
+    order = jnp.argsort(key)
+    key_s = jnp.take(key, order)
+    qst_s = (key_s & 8191).astype(jnp.int32)
+    valid_s = jnp.take(valid_o, order)
+    gkey = key_s >> 13
+    new_group = valid_s & jnp.concatenate(
+        [jnp.ones((1,), bool), gkey[1:] != gkey[:-1]])
+    n_groups = jnp.sum(new_group.astype(jnp.int32))
+    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
+    gid_v = jnp.where(valid_s, jnp.clip(gid, 0, C - 1), C - 1)
+
+    idx = jnp.arange(C, dtype=jnp.int32)
+    grp_start = jnp.full((C,), C, jnp.int32).at[gid_v].min(idx)
+    grp_end = jnp.zeros((C,), jnp.int32).at[gid_v].max(
+        jnp.where(valid_s, idx + 1, 0))
+    grp_valid = idx < n_groups
+    grp_start = jnp.where(grp_valid, grp_start, 1)
+    grp_end = jnp.where(grp_valid, grp_end, 0)
+
+    first_el = jnp.clip(grp_start, 0, C - 1)
+    fkey = jnp.take(key_s, first_el)
+    g_qrow = (fkey >> 48).astype(jnp.int32)
+    g_sid = ((fkey >> 27) & ((1 << 21) - 1)).astype(jnp.int32)
+    g_diag = ((fkey >> 13) & ((1 << 14) - 1)).astype(jnp.int32) - 8192
+
+    qtok_flat = q_tokens.reshape(-1).astype(jnp.int32)
+    b62 = _b62_flat()
+    g_soff = jnp.take(db_offsets, jnp.clip(g_sid, 0,
+                                           db_offsets.shape[0] - 2))
+    g_slen = (jnp.take(db_offsets, jnp.clip(g_sid, 0,
+                                            db_offsets.shape[0] - 2) + 1)
+              - g_soff).astype(jnp.int32)
+    g_qlen = jnp.take(q_lengths.astype(jnp.int32),
+                      jnp.clip(g_qrow, 0, B - 1))
+
+    NB = C // GB if C >= GB else 1
+    BSZ = GB if C >= GB else C
+
+    def block(args):
+        (b_qrow, b_diag, b_soff, b_slen, b_qlen, b_start, b_end) = args
+
+        def cond(state):
+            ptr, cover, first, tot = state
+            return jnp.any(ptr < b_end)
+
+        def body(state):
+            ptr, cover, first, tot = state
+
+            # drain covered points (contribute exactly 0)
+            def d_cond(p):
+                act = p < b_end
+                p_now = jnp.take(qst_s, jnp.clip(p, 0, C - 1))
+                return jnp.any(act & ~first & (p_now <= cover))
+
+            def d_body(p):
+                act = p < b_end
+                p_now = jnp.take(qst_s, jnp.clip(p, 0, C - 1))
+                covered = act & ~first & (p_now <= cover)
+                return p + covered.astype(jnp.int32)
+
+            ptr = jax.lax.while_loop(d_cond, d_body, ptr)
+            act = ptr < b_end
+            p0 = jnp.take(qst_s, jnp.clip(ptr, 0, C - 1))
+            s0 = p0 - b_diag
+            qlo = jnp.where(first, 0, cover)
+            slo = jnp.where(first, 0, qlo - b_diag)
+            zero = jnp.zeros_like(p0)
+            best_r, t_r = _walk(qtok_flat, db_tokens, b62, L, W,
+                                b_qrow, b_soff.astype(jnp.int64),
+                                p0, s0, 1, zero, qlo, slo,
+                                b_qlen, b_slen)
+            max_qed = jnp.where(t_r >= 0, p0 + t_r, p0)
+            best, _ = _walk(qtok_flat, db_tokens, b62, L, W,
+                            b_qrow, b_soff.astype(jnp.int64),
+                            p0 - 1, s0 - 1, -1, best_r, qlo, slo,
+                            b_qlen, b_slen)
+            tot = tot + jnp.where(act, best, 0)
+            cover = jnp.where(act, max_qed, cover)
+            first = first & ~act
+            ptr = ptr + act.astype(jnp.int32)
+            return ptr, cover, first, tot
+
+        init = (b_start,
+                jnp.full(b_start.shape, NEG_INF, jnp.int32),
+                jnp.ones(b_start.shape, bool),
+                jnp.zeros(b_start.shape, jnp.int32))
+        _, _, _, tot = jax.lax.while_loop(cond, body, init)
+        return tot
+
+    sh = (NB, BSZ)
+    totals = jax.lax.map(block, (g_qrow.reshape(sh), g_diag.reshape(sh),
+                                 g_soff.reshape(sh), g_slen.reshape(sh),
+                                 g_qlen.reshape(sh), grp_start.reshape(sh),
+                                 grp_end.reshape(sh)))
+    return (g_qrow, g_sid, g_diag, totals.reshape(-1), grp_valid,
+            n_groups)
+
+
+_DB_CACHE: dict = {}
+
+
+def _device_db(db: SeqDB):
+    key = id(db)
+    ent = _DB_CACHE.get(key)
+    if ent is None or ent[0]() is None:
+        import weakref
+        toks = jnp.asarray(db.tokens)
+        offs = jnp.asarray(db.offsets.astype(np.int64))
+        ent = (weakref.ref(db), toks, offs)
+        _DB_CACHE.clear()       # hold at most one db slab on device
+        _DB_CACHE[key] = ent
+    return ent[1], ent[2]
+
+
+def _device_index(index: SeedIndex):
+    dev = getattr(index, '_device_arrays', None)
+    if dev is None:
+        dev = (jnp.asarray(index.start.astype(np.int32)),
+               jnp.asarray(index.sid.astype(np.int32)),
+               jnp.asarray(index.sst.astype(np.int32)))
+        index._device_arrays = dev
+    return dev
+
+
+def device_path_supported(q_tokens: np.ndarray, db: SeqDB,
+                          index: SeedIndex) -> bool:
+    """Packed-key range preconditions (same spirit as the host packing
+    guards, candidates.py): query batch and padded length < 2^13,
+    subject ids < 2^21, and |diagonal| < 2^13 — i.e. the longest db
+    sequence must stay <= 8192 residues."""
+    B, L = q_tokens.shape
+    max_slen = int((db.offsets[1:] - db.offsets[:-1]).max()) if len(db) \
+        else 0
+    return (B < (1 << 13) and L <= (1 << 13) and len(db) < (1 << 21)
+            and max_slen <= 8192)
+
+
+def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
+                               db: SeqDB, index: SeedIndex,
+                               alphabets: list, ssps: str) -> Candidates:
+    """Drop-in device-path replacement for
+    ``candidates.generate_candidates`` — identical results (enforced by
+    tests/test_device_candidates.py).  Falls back to the host path when
+    the packed-key ranges don't hold (see device_path_supported)."""
+    if not device_path_supported(q_tokens, db, index):
+        from .candidates import generate_candidates
+        return generate_candidates(q_tokens, q_lengths, db, index,
+                                   alphabets, ssps)
+    B, L = q_tokens.shape
+    streams = _patterns_static(tuple(alphabets), ssps)
+    tbls = _tables(tuple(alphabets))
+    with jax.enable_x64(True):
+        start_i32, sid_i32, sst_i32 = _device_index(index)
+        buckets, kept, counts, total = _stage1_seeds(
+            jnp.asarray(q_tokens), jnp.asarray(q_lengths.astype(np.int32)),
+            tbls, start_i32, jnp.uint32(index.nc),
+            jnp.asarray(index.threshold, jnp.int64), streams)
+        total_i = int(total)
+        if total_i == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return Candidates(z, z, z, z, z)
+
+        C = 1
+        while C < total_i:
+            C *= 2
+        C = max(C, GB)
+        db_tokens, db_offsets = _device_db(db)
+        g_qrow, g_sid, g_diag, score, grp_valid, n_groups = \
+            _stage2_expand_chain(
+                buckets, kept, counts, jnp.asarray(q_tokens),
+                jnp.asarray(q_lengths.astype(np.int32)),
+                start_i32, sid_i32, sst_i32, db_tokens, db_offsets, total,
+                C=C, L=L, W=L + 1)
+
+        ng = int(n_groups)
+        g_qrow = np.asarray(g_qrow[:ng]).astype(np.int64)
+        g_sid = np.asarray(g_sid[:ng]).astype(np.int64)
+        g_diag = np.asarray(g_diag[:ng]).astype(np.int64)
+        score = np.asarray(score[:ng]).astype(np.int64)
+    return _finish_candidates(g_qrow, g_sid, g_diag, score)

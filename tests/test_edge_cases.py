@@ -63,6 +63,45 @@ class TestDegenerateDownstream:
 
 
 class TestLongSequences:
+    def test_batched_tiles_match_oracle(self, rng):
+        """_align_long_tiles (one kernel batch for all tiles of a wave)
+        vs the sequential kswat_st_long oracle loop (fsearch.py
+        :1480-1498) — per-tile results identical, including the
+        empty-subject-tile rows past the subject's end."""
+        import numpy as np
+        from swiftortho_tpu.ops.banded_sw import kswat_oracle
+        from swiftortho_tpu.search.blastp import _align_long_tiles
+
+        AA = 'ACDEFGHIKLMNPQRSTVWY'
+        mk = lambda n: ''.join(AA[i] for i in rng.integers(0, 20, n))
+        base = mk(9000)
+        recs = [('t|a', base),                       # 3 tiles vs itself
+                ('t|b', base[:5000] + mk(100)),      # shorter homolog
+                ('t|c', mk(4200))]                   # subject runs out
+        db = SeqDB.from_records(recs)
+        pad = 16384
+        toks, lens = db.padded_batch(np.arange(3), pad)
+        qrow = np.array([0, 0, 0], dtype=np.int64)
+        subj = np.array([0, 1, 2], dtype=np.int64)
+        bq = np.array([0, 0, 0], dtype=np.int64)
+        bs = np.array([0, 0, 0], dtype=np.int64)
+        got = _align_long_tiles(toks, lens, db, np.arange(3), qrow, subj,
+                                bq, bs, (4096,))
+        for p in range(3):
+            sqi = toks[0, :lens[0]].tobytes().decode('latin-1')
+            sqj = db.seq_str(int(subj[p]))
+            want = []
+            j = 0
+            for i in range(0, len(sqi), 4096):
+                o = kswat_oracle(sqi[i:i + 4096], sqj[j:j + 4096])
+                want.append((o.idy, o.aln, o.mis, o.gap, o.qst + i,
+                             o.qed + i, o.sst + j, o.sed + j, o.bit))
+                j += 4096
+            have = [(r['idy'], r['aln'], r['mis'], r['gap'], r['qst'],
+                     r['qed'], r['sst'], r['sed'], r['bit'])
+                    for r in got[p]]
+            assert have == want, p
+
     def test_tiled_long_pair_path(self, rng):
         # a >4096-residue pair goes through the 4096-tile path
         # (reference kswat_st_long, fsearch.py:1480-1498)

@@ -24,7 +24,7 @@ from typing import Iterable, Iterator, List
 import numpy as np
 
 from ..config import ClusterConfig
-from .apc import apc_cluster
+from .apc import apc_cluster, apc_cluster_blocked
 from .mcl import mcl_cluster
 
 
@@ -82,7 +82,16 @@ def find_cluster_stream(lines: Iterable[str],
                                prune=cfg.prune, max_dense=cfg.max_dense,
                                labels=labels)
     elif cfg.algorithm in ('apc', 'sap'):
-        clusters = apc_cluster(n, ei, ej, w, n_taxa, damp=cfg.damping)
+        # Reference: -b > 0 selects the blocked apclust_blk
+        # (find_cluster.py:1705-1711).  Blocked and in-memory paths give
+        # identical clusters (tested), so we only pay the blocked sweeps
+        # when the symmetrized edge table actually exceeds one block.
+        if 0 < cfg.component_batch < 2 * len(ei) + n:
+            clusters = apc_cluster_blocked(n, ei, ej, w, n_taxa,
+                                           damp=cfg.damping,
+                                           block=cfg.component_batch)
+        else:
+            clusters = apc_cluster(n, ei, ej, w, n_taxa, damp=cfg.damping)
     else:
         raise ValueError('unknown algorithm %r' % cfg.algorithm)
     for cl in clusters:

@@ -223,22 +223,34 @@ def _run_dense_batch(batch, comp_nodes, ei, ej, w, e_order, e_bounds, s,
 
 def _run_sparse_comp(c, comp_nodes, ei, ej, w, e_order, e_bounds,
                      inflation, prune) -> List[List[int]]:
-    import scipy.sparse as sp
+    """Oversize component (> max_dense nodes): device block-sparse MCL
+    (cluster/mcl_blocksparse.py, dense-tile SpMM on the MXU) by default;
+    SWIFTORTHO_MCL=scipy selects the host csr loop (same math, used as
+    the parity oracle in tests)."""
+    import os
+
     nodes = comp_nodes[c]
     loc = {int(g): i for i, g in enumerate(nodes)}
     sel = e_order[e_bounds[c]:e_bounds[c + 1]]
     m = len(nodes)
     li = np.fromiter((loc[int(g)] for g in ei[sel]), np.int64, len(sel))
     lj = np.fromiter((loc[int(g)] for g in ej[sel]), np.int64, len(sel))
-    mat = sp.lil_matrix((m, m), dtype=np.float32)
-    mat[li, lj] = w[sel]
-    mat[lj, li] = w[sel]
     selfw = np.zeros(m, np.float32)
     np.maximum.at(selfw, li, w[sel].astype(np.float32))
     np.maximum.at(selfw, lj, w[sel].astype(np.float32))
-    mat.setdiag(selfw)
-    xr = _mcl_sparse(mat, inflation, prune)
-    ri, rj = (xr > prune).nonzero()
+
+    if os.environ.get('SWIFTORTHO_MCL', '') == 'scipy':
+        import scipy.sparse as sp
+        mat = sp.lil_matrix((m, m), dtype=np.float32)
+        mat[li, lj] = w[sel]
+        mat[lj, li] = w[sel]
+        mat.setdiag(selfw)
+        xr = _mcl_sparse(mat, inflation, prune)
+        ri, rj = (xr > prune).nonzero()
+    else:
+        from .mcl_blocksparse import mcl_blocksparse
+        ri, rj = mcl_blocksparse(m, li, lj, w[sel].astype(np.float32),
+                                 selfw, float(inflation), prune)
     out = []
     if len(ri):
         sub_labels = connected_components(m, ri, rj)

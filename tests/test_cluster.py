@@ -86,6 +86,33 @@ class TestAPC:
         parts = sorted(map(tuple, cl))
         assert (0, 1, 2, 3) in parts and (4, 5, 6, 7) in parts
 
+    def test_blocked_matches_in_memory(self, rng, tmp_path):
+        """apc_cluster_blocked (reference apclust_blk,
+        find_cluster.py:405-513): multi-block sweeps + memmap spill give
+        the same clusters as the in-memory path."""
+        from swiftortho_tpu.cluster.apc import apc_cluster_blocked
+
+        ei, ej, w = [], [], []
+        for c in range(12):                      # 12 cliques of 6
+            off = c * 6
+            for a_ in range(6):
+                for b_ in range(a_ + 1, 6):
+                    ei.append(off + a_)
+                    ej.append(off + b_)
+                    w.append(4.0 + 0.2 * float(rng.random()))
+        n = 72
+        ei = np.asarray(ei)
+        ej = np.asarray(ej)
+        w = np.asarray(w)
+        base = apc_cluster(n, ei, ej, w, n_taxa=3)
+        # block smaller than the edge table -> 5+ sweeps per block set
+        blk = list(apc_cluster_blocked(n, ei, ej, w, n_taxa=3, block=100))
+        assert sorted(map(tuple, blk)) == sorted(map(tuple, base))
+        spill = list(apc_cluster_blocked(n, ei, ej, w, n_taxa=3,
+                                         block=100,
+                                         spill_dir=str(tmp_path / 'ap')))
+        assert sorted(map(tuple, spill)) == sorted(map(tuple, base))
+
 
 class TestDriver:
     def test_parse_graph(self):

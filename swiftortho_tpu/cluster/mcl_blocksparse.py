@@ -14,6 +14,17 @@ output tiles — the TPU-native reading of the reference's scipy csr x@x
 pruning drops all-zero tiles, which keeps the tile set bounded the same
 way csr pruning bounds nnz.
 
+Performance design (axon v5e measured constraints): every device array is
+padded to power-of-two tile counts so the jit cache sees a handful of
+shapes instead of one per iteration (shape churn = a ~5-40 s remote
+recompile per iteration); the whole expansion runs as ONE dispatch
+(lax.scan over fixed-size tile-pair chunks) because per-dispatch latency
+is ~20 ms; tiles are indexed only by whole-tile leading-axis gathers
+(~16 Gelem/s measured — elementwise gathers are the 0.01 G/s trap).
+Padding tiles are all-zero, so they contribute nothing to column sums or
+products; padded tile-pairs write into a reserved sink tile that the
+valid-mask zeroes after every expansion.
+
 Float caveat (named deviation): tile-level matmul accumulation order
 differs from csr row-order accumulation, so borderline prune/convergence
 floats can differ in the last ulp vs the scipy path; partitions on real
@@ -30,53 +41,76 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_PAIR_CHUNK = 512           # tile pairs per batched matmul dispatch
+_PAIR_CHUNK = 512           # max tile pairs per scan step of the expansion
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
 
 
 @partial(jax.jit, static_argnames=('nt',))
-def _colsums(data, tJ, nt: int):
-    """(T, mb, mb) tiles -> (nt*mb,) global column sums."""
-    per_tile = data.sum(axis=1)                     # (T, mb)
-    mb = data.shape[1]
-    out = jnp.zeros((nt, mb), data.dtype).at[tJ].add(per_tile)
-    return out.reshape(-1)
+def _normalize(data, tJ, nt: int):
+    """Column L1-normalize across the global block-columns.
 
-
-@jax.jit
-def _normalize(data, tJ, colsum_blocks):
-    """Divide every tile's columns by its block-column sums (+1e-8)."""
-    denom = colsum_blocks[tJ][:, None, :] + 1e-8    # (T, 1, mb)
+    tJ maps each (padded) tile to its block-column; padding tiles carry
+    tJ = nt (a sink row) and all-zero data, so they add nothing and
+    normalize to zero.
+    """
+    per_tile = data.sum(axis=1)                      # (T_pad, mb)
+    cs = jnp.zeros((nt + 1, data.shape[1]), data.dtype).at[tJ].add(per_tile)
+    denom = cs[tJ][:, None, :] + 1e-8                # (T_pad, 1, mb)
     return data / denom
 
 
-@jax.jit
-def _matmul_accum(out, lhs, rhs, out_idx):
-    prod = jnp.matmul(lhs, rhs, precision=jax.lax.Precision.HIGHEST)
-    return out.at[out_idx].add(prod)
+@partial(jax.jit, static_argnames=('tn_pad', 'nchunk', 'chunk'))
+def _expand_device(data, lhs, rhs, oidx, tn_pad: int, nchunk: int,
+                   chunk: int):
+    """y[oidx] += data[lhs] @ data[rhs], one dispatch: scan over
+    chunk-sized chunks of the tile-pair list."""
+    mb = data.shape[1]
+    out = jnp.zeros((tn_pad, mb, mb), data.dtype)
+
+    def body(acc, args):
+        l, r, o = args
+        prod = jnp.matmul(data[l], data[r],
+                          precision=jax.lax.Precision.HIGHEST)
+        return acc.at[o].add(prod), None
+
+    out, _ = jax.lax.scan(
+        body, out, (lhs.reshape(nchunk, chunk),
+                    rhs.reshape(nchunk, chunk),
+                    oidx.reshape(nchunk, chunk)))
+    return out
 
 
 @partial(jax.jit, static_argnames=('inflation',))
-def _inflate(data, inflation: float):
-    return jnp.power(data, inflation)
-
-
-@jax.jit
-def _conv_metric(y_aligned, x_old_aligned, rtol):
-    d = jnp.abs(y_aligned - x_old_aligned) - rtol * jnp.abs(x_old_aligned)
-    return d.max()
-
-
-@jax.jit
-def _prune_tiles(data, prune):
+def _inflate_prune(data, valid, inflation: float, prune):
+    """Inflation, zero out padding/sink tiles, prune, per-tile max."""
+    data = jnp.power(data, inflation) * valid[:, None, None]
     data = jnp.where(data < prune, 0.0, data)
     return data, data.max(axis=(1, 2))
 
 
-def _expand(keys: np.ndarray, data, nt: int):
-    """One expansion step: returns (new_keys, new_data) for y = x @ x."""
+@partial(jax.jit, static_argnames=('u_pad',))
+def _conv_metric(y, pos_y, x, pos_x, rtol, u_pad: int):
+    """max(|y - x| - rtol|x|) with both tile sets scattered onto their
+    (padded) key union.  Inputs keep their padded shapes (stable jit
+    cache); padding tiles scatter into the u_pad sink row."""
+    mb = y.shape[1]
+    ya = jnp.zeros((u_pad + 1, mb, mb), y.dtype).at[pos_y].set(y)
+    xa = jnp.zeros((u_pad + 1, mb, mb), x.dtype).at[pos_x].set(x)
+    d = jnp.abs(ya[:u_pad] - xa[:u_pad]) - rtol * jnp.abs(xa[:u_pad])
+    return d.max()
+
+
+def _pair_lists(keys: np.ndarray, nt: int):
+    """All (lhs, rhs) tile pairs sharing a middle block index K, and the
+    dense output-tile ids they accumulate into."""
     tI = keys // nt
     tJ = keys % nt
-    # per middle-index K: tiles with column K (lhs) x tiles with row K (rhs)
     order_col = np.argsort(tJ, kind='stable')       # lhs grouped by K=tJ
     order_row = np.argsort(tI, kind='stable')       # rhs grouped by K=tI
     colK = tJ[order_col]
@@ -92,36 +126,11 @@ def _expand(keys: np.ndarray, data, nt: int):
         lhs_l.append(np.repeat(A, len(Bv)))
         rhs_l.append(np.tile(Bv, len(A)))
     if not lhs_l:
-        return keys, data
+        return None
     lhs = np.concatenate(lhs_l)
     rhs = np.concatenate(rhs_l)
     out_key = tI[lhs] * nt + tJ[rhs]
-    new_keys, out_idx = np.unique(out_key, return_inverse=True)
-    Tn = len(new_keys)
-    mb = data.shape[1]
-    out = jnp.zeros((Tn, mb, mb), jnp.float32)
-    for st in range(0, len(lhs), _PAIR_CHUNK):
-        sl = slice(st, st + _PAIR_CHUNK)
-        out = _matmul_accum(out, data[jnp.asarray(lhs[sl])],
-                            data[jnp.asarray(rhs[sl])],
-                            jnp.asarray(out_idx[sl]))
-    return new_keys, out
-
-
-def _align(keys_a, data_a, keys_b, data_b):
-    """Zero-pad both tile sets onto their key union; returns
-    (union_keys, a_aligned, b_aligned) with device zero-fill."""
-    union = np.union1d(keys_a, keys_b)
-    mb = data_a.shape[1] if len(keys_a) else data_b.shape[1]
-
-    def place(keys, data):
-        out = jnp.zeros((len(union), mb, mb), jnp.float32)
-        if len(keys):
-            pos = np.searchsorted(union, keys)
-            out = out.at[jnp.asarray(pos)].set(data)
-        return out
-
-    return union, place(keys_a, data_a), place(keys_b, data_b)
+    return lhs, rhs, out_key
 
 
 def mcl_blocksparse(m: int, li: np.ndarray, lj: np.ndarray,
@@ -141,31 +150,74 @@ def mcl_blocksparse(m: int, li: np.ndarray, lj: np.ndarray,
     ew = np.concatenate([w, w, selfw]).astype(np.float32)
     key = (ei // mb) * nt + (ej // mb)
     keys, inv = np.unique(key, return_inverse=True)
-    data_h = np.zeros((len(keys), mb, mb), np.float32)
+    t_pad = _bucket(len(keys) + 1)
+    data_h = np.zeros((t_pad, mb, mb), np.float32)
     data_h[inv, ei % mb, ej % mb] = ew
-    data = jnp.asarray(data_h)
+    data = jnp.asarray(data_h)                       # (t_pad, mb, mb)
 
     old_keys, old_data = None, None
     for i in range(itr):
-        tJ = jnp.asarray(keys % nt)
-        cs = _colsums(data, tJ, nt)
-        data = _normalize(data, tJ, cs.reshape(nt, mb))
+        nv = len(keys)
+        tJ = np.full(data.shape[0], nt, np.int64)    # padding -> sink row
+        tJ[:nv] = keys % nt
+        data = _normalize(data, jnp.asarray(tJ), nt)
         if i % check == 0:
             old_keys, old_data = keys, data
-        keys, data = _expand(keys, data, nt)
-        data = _inflate(data, float(inflation))
+
+        # --- expansion: host pairing, one device dispatch ---
+        pl = _pair_lists(keys, nt)
+        if pl is None:
+            break
+        lhs, rhs, out_key = pl
+        new_keys, out_idx = np.unique(out_key, return_inverse=True)
+        tn_pad = _bucket(len(new_keys) + 1)          # +1: sink tile
+        npair = len(lhs)
+        # pad the pair list to a power of two (<=2x waste) and factor it
+        # into (nchunk, chunk) scan steps; both are log-bounded, so the
+        # jit cache stays small without TFLOPs of padding matmuls
+        p_pad = _bucket(npair, lo=8)
+        chunk = min(_PAIR_CHUNK, p_pad)
+        nchunk = p_pad // chunk
+        if p_pad > npair:                            # sink-padded pairs
+            pad = p_pad - npair
+            lhs = np.concatenate([lhs, np.zeros(pad, lhs.dtype)])
+            rhs = np.concatenate([rhs, np.zeros(pad, rhs.dtype)])
+            out_idx = np.concatenate(
+                [out_idx, np.full(pad, tn_pad - 1, out_idx.dtype)])
+        data = _expand_device(data, jnp.asarray(lhs), jnp.asarray(rhs),
+                              jnp.asarray(out_idx), tn_pad, nchunk, chunk)
+        keys = new_keys
+
+        valid = np.zeros(tn_pad, np.float32)
+        valid[:len(keys)] = 1.0
+        data, tmax = _inflate_prune(data, jnp.asarray(valid),
+                                    float(inflation), prune)
+
         if i % check == 0 and i > 0:
-            _, ya, xa = _align(keys, data, old_keys, old_data)
-            if float(_conv_metric(ya, xa, rtol)) <= atol:
+            union = np.union1d(keys, old_keys)
+            u_pad = _bucket(len(union))
+            pos_y = np.full(data.shape[0], u_pad, np.int64)
+            pos_y[:len(keys)] = np.searchsorted(union, keys)
+            pos_x = np.full(old_data.shape[0], u_pad, np.int64)
+            pos_x[:len(old_keys)] = np.searchsorted(union, old_keys)
+            dm = _conv_metric(data, jnp.asarray(pos_y),
+                              old_data, jnp.asarray(pos_x),
+                              rtol, u_pad)
+            if float(dm) <= atol:
                 break
-        data, tmax = _prune_tiles(data, prune)
-        alive = np.asarray(tmax) > 0.0
-        if not alive.all():
-            keys = keys[alive]
-            data = data[jnp.asarray(np.flatnonzero(alive))]
-        if len(keys) == 0:
+
+        alive = np.flatnonzero(np.asarray(tmax)[:len(keys)] > 0.0)
+        if len(alive) == 0:
             return (np.zeros(0, np.int64),) * 2
-    dh = np.asarray(data)
+        if len(alive) < len(keys):
+            keys = keys[alive]
+            # bucketed compaction gather; padding indexes the sink tile
+            # (zeroed by the valid mask above)
+            nb = _bucket(len(alive) + 1)
+            idx = np.full(nb, data.shape[0] - 1, np.int64)
+            idx[:len(alive)] = alive
+            data = data[jnp.asarray(idx)]
+    dh = np.asarray(data[:len(keys)])
     t, ri, rj = np.nonzero(dh > prune)
     gi = (keys[t] // nt) * mb + ri
     gj = (keys[t] % nt) * mb + rj

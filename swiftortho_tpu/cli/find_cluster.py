@@ -6,6 +6,7 @@ Usage: python -m swiftortho_tpu.cli.find_cluster -i out.orth [-a mcl|apc]
 
 from __future__ import annotations
 
+import os
 import sys
 
 from ..config import ClusterConfig
@@ -26,7 +27,9 @@ def main(argv=None):
     cfg = ClusterConfig(algorithm=args['-a'].lower(),
                         inflation=float(args['-I']),
                         damping=float(args['-d']),
-                        component_batch=int(args['-b']))
+                        component_batch=int(args['-b']),
+                        ckpt_dir=os.environ.get('SWIFTORTHO_CKPT_DIR')
+                        or None)
     with open(args['-i']) as fh:
         for line in find_cluster_stream(fh, cfg):
             sys.stdout.write(line)

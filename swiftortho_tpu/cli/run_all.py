@@ -93,8 +93,11 @@ def main(argv=None):
     # 3. clustering
     t0 = time()
     clsr_path = '%s/%s.clsr' % (res, sfx)
+    # MCL runs checkpoint finished component batches + iteration state
+    # here; a rerun (with or without -R y) skips completed work
     ccfg = ClusterConfig(algorithm=args['-A'].lower(),
-                         inflation=float(args['-I']))
+                         inflation=float(args['-I']),
+                         ckpt_dir='%s/%s.clsr.ckpt' % (res, sfx))
     if resume and fresh(clsr_path, opc_path):
         log_event('cluster', skipped=True)
     else:

@@ -80,7 +80,7 @@ def find_cluster_stream(lines: Iterable[str],
         labels = cnc_labels(n, ei, ej, w)
         clusters = mcl_cluster(n, ei, ej, w, inflation=cfg.inflation,
                                prune=cfg.prune, max_dense=cfg.max_dense,
-                               labels=labels)
+                               labels=labels, ckpt_dir=cfg.ckpt_dir)
     elif cfg.algorithm in ('apc', 'sap'):
         # Reference: -b > 0 selects the blocked apclust_blk
         # (find_cluster.py:1705-1711).  Blocked and in-memory paths give

@@ -105,7 +105,8 @@ def _mcl_sparse(mat, inflation, prune=1e-5, rtol=1e-5, atol=1e-8,
 def mcl_cluster(n: int, ei: np.ndarray, ej: np.ndarray, w: np.ndarray,
                 inflation: float = 1.5, prune: float = 1e-5,
                 max_dense: int = 4096,
-                labels: np.ndarray | None = None) -> List[List[int]]:
+                labels: np.ndarray | None = None,
+                ckpt_dir: str | None = None) -> List[List[int]]:
     """Cluster an undirected weighted edge list (node ids 0..n-1).
 
     ``labels``: optional precomputed per-node component labels (e.g. the
@@ -114,12 +115,24 @@ def mcl_cluster(n: int, ei: np.ndarray, ej: np.ndarray, w: np.ndarray,
     `cx == cy` filter (find_cluster.py:1611-1612).  Default: plain
     connected components (every edge kept).
 
+    ``ckpt_dir``: when given, every finished bucket batch / oversize
+    component persists its clusters there (cluster/checkpoint.py), and
+    oversize components additionally checkpoint iteration state — a rerun
+    over the same graph+parameters skips finished work and resumes the
+    interrupted component mid-run.
+
     Returns clusters as lists of node ids (ascending), ordered by their
     smallest member.  Isolated nodes are not reported (the reference only
     prints nodes that appear in some surviving component).
     """
     if len(ei) == 0:
         return []
+    ckpt = None
+    if ckpt_dir is not None:
+        from .checkpoint import ClusterCheckpoint, graph_signature
+        sig = graph_signature(n, ei, ej, w, labels, inflation=inflation,
+                              prune=prune, max_dense=max_dense)
+        ckpt = ClusterCheckpoint(ckpt_dir, sig)
     if labels is None:
         labels = connected_components(n, ei, ej)
     else:
@@ -161,14 +174,32 @@ def mcl_cluster(n: int, ei: np.ndarray, ej: np.ndarray, w: np.ndarray,
         # batch in groups to bound memory: B*s*s*4 <= ~256MB
         max_batch = max(1, (256 << 20) // (b * b * 4))
         for gstart in range(0, len(comps), max_batch):
+            key = 'dense_b%d_g%d' % (b, gstart)
+            cached = ckpt.load_batch(key) if ckpt is not None else None
+            if cached is not None:
+                clusters.extend(cached)
+                continue
             batch = comps[gstart:gstart + max_batch]
-            clusters.extend(_run_dense_batch(
+            got = _run_dense_batch(
                 batch, comp_nodes, ei, ej, w, e_order, e_bounds, b,
-                inflation, prune))
+                inflation, prune)
+            if ckpt is not None:
+                ckpt.save_batch(key, got)
+            clusters.extend(got)
 
     for c in big:
-        clusters.extend(_run_sparse_comp(
-            c, comp_nodes, ei, ej, w, e_order, e_bounds, inflation, prune))
+        key = 'big_c%d' % c
+        cached = ckpt.load_batch(key) if ckpt is not None else None
+        if cached is not None:
+            clusters.extend(cached)
+            continue
+        got = _run_sparse_comp(
+            c, comp_nodes, ei, ej, w, e_order, e_bounds, inflation, prune,
+            ckpt=ckpt, ckpt_key=key)
+        if ckpt is not None:
+            ckpt.save_batch(key, got)
+            ckpt.clear_state(key)
+        clusters.extend(got)
 
     clusters.sort(key=lambda cl: cl[0])
     return clusters
@@ -222,7 +253,8 @@ def _run_dense_batch(batch, comp_nodes, ei, ej, w, e_order, e_bounds, s,
 
 
 def _run_sparse_comp(c, comp_nodes, ei, ej, w, e_order, e_bounds,
-                     inflation, prune) -> List[List[int]]:
+                     inflation, prune, ckpt=None,
+                     ckpt_key: str = '') -> List[List[int]]:
     """Oversize component (> max_dense nodes): device block-sparse MCL
     (cluster/mcl_blocksparse.py, dense-tile SpMM on the MXU) by default;
     SWIFTORTHO_MCL=scipy selects the host csr loop (same math, used as
@@ -250,7 +282,8 @@ def _run_sparse_comp(c, comp_nodes, ei, ej, w, e_order, e_bounds,
     else:
         from .mcl_blocksparse import mcl_blocksparse
         ri, rj = mcl_blocksparse(m, li, lj, w[sel].astype(np.float32),
-                                 selfw, float(inflation), prune)
+                                 selfw, float(inflation), prune,
+                                 ckpt=ckpt, ckpt_key=ckpt_key)
     out = []
     if len(ri):
         sub_labels = connected_components(m, ri, rj)

@@ -138,25 +138,43 @@ def mcl_blocksparse(m: int, li: np.ndarray, lj: np.ndarray,
                     inflation: float, prune: float = 1e-5,
                     rtol: float = 1e-5, atol: float = 1e-8,
                     itr: int = 100, check: int = 5,
-                    mb: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
+                    mb: int = 1024, ckpt=None,
+                    ckpt_key: str = '') -> Tuple[np.ndarray, np.ndarray]:
     """Run MCL on one m-node component given symmetric local edges
     (li, lj, w) and per-node self-loop weights; returns the surviving
-    (row, col) entry coordinates (> prune) for component extraction."""
+    (row, col) entry coordinates (> prune) for component extraction.
+
+    ``ckpt`` (cluster/checkpoint.py ClusterCheckpoint): when given, the
+    (keys, tiles) state is persisted as sparse COO at the end of every
+    iteration preceding a convergence check, and a later call restores it
+    and continues from that iteration instead of 0.  The save costs one
+    host fetch of the live tiles per ``check`` iterations.
+    """
     nt = -(-m // mb)
-    # build initial tiles (symmetric + self-loops; duplicate pairs: last
-    # assignment wins, like the reference's lil construction)
-    ei = np.concatenate([li, lj, np.arange(m, dtype=np.int64)])
-    ej = np.concatenate([lj, li, np.arange(m, dtype=np.int64)])
-    ew = np.concatenate([w, w, selfw]).astype(np.float32)
-    key = (ei // mb) * nt + (ej // mb)
-    keys, inv = np.unique(key, return_inverse=True)
-    t_pad = _bucket(len(keys) + 1)
-    data_h = np.zeros((t_pad, mb, mb), np.float32)
-    data_h[inv, ei % mb, ej % mb] = ew
+    start_i = 0
+    state = ckpt.load_state(ckpt_key) if ckpt is not None else None
+    if (state is not None and int(state['m']) == m
+            and int(state['mb']) == mb):
+        keys = state['keys']
+        t_pad = _bucket(len(keys) + 1)
+        data_h = np.zeros((t_pad, mb, mb), np.float32)
+        data_h[state['ti'], state['ri'], state['rj']] = state['val']
+        start_i = int(state['i_next'])
+    else:
+        # build initial tiles (symmetric + self-loops; duplicate pairs:
+        # last assignment wins, like the reference's lil construction)
+        ei = np.concatenate([li, lj, np.arange(m, dtype=np.int64)])
+        ej = np.concatenate([lj, li, np.arange(m, dtype=np.int64)])
+        ew = np.concatenate([w, w, selfw]).astype(np.float32)
+        key = (ei // mb) * nt + (ej // mb)
+        keys, inv = np.unique(key, return_inverse=True)
+        t_pad = _bucket(len(keys) + 1)
+        data_h = np.zeros((t_pad, mb, mb), np.float32)
+        data_h[inv, ei % mb, ej % mb] = ew
     data = jnp.asarray(data_h)                       # (t_pad, mb, mb)
 
     old_keys, old_data = None, None
-    for i in range(itr):
+    for i in range(start_i, itr):
         nv = len(keys)
         tJ = np.full(data.shape[0], nt, np.int64)    # padding -> sink row
         tJ[:nv] = keys % nt
@@ -217,6 +235,15 @@ def mcl_blocksparse(m: int, li: np.ndarray, lj: np.ndarray,
             idx = np.full(nb, data.shape[0] - 1, np.int64)
             idx[:len(alive)] = alive
             data = data[jnp.asarray(idx)]
+
+        if ckpt is not None and (i + 1) % check == 0:
+            # end-of-iteration state right before the next snapshot: the
+            # next iteration re-derives old_* itself, so (keys, tiles,
+            # i_next) is the complete resume state
+            dh = np.asarray(data[:len(keys)])
+            ti, ri, rj = np.nonzero(dh)
+            ckpt.save_state(ckpt_key, m=m, mb=mb, i_next=i + 1, keys=keys,
+                            ti=ti, ri=ri, rj=rj, val=dh[ti, ri, rj])
     dh = np.asarray(data[:len(keys)])
     t, ri, rj = np.nonzero(dh > prune)
     gi = (keys[t] // nt) * mb + ri

@@ -67,6 +67,7 @@ class ClusterConfig:
     prune: float = 1e-5           # MCL weak-edge prune
     component_batch: int = 10**7  # -b max edges per MCL sub-problem
     max_dense: int = 4096         # dense-MCL component size cap (ours)
+    ckpt_dir: str | None = None   # resumable-MCL checkpoint dir (ours)
 
 
 @dataclass

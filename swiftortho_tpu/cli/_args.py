@@ -41,6 +41,11 @@ def apply_platform_env():
             jax.config.update('jax_platforms', plat)
         except RuntimeError:
             pass
+    if os.environ.get('SWIFTORTHO_COORD'):
+        # join a multi-host fleet (parallel/distributed.py); every rank
+        # runs the same CLI invocation in lockstep
+        from ..parallel.distributed import init_distributed
+        init_distributed()
     cache = os.environ.get('SWIFTORTHO_JAX_CACHE',
                            os.path.expanduser('~/.cache/swiftortho_jax'))
     if cache and cache != '0':

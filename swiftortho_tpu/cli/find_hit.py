@@ -65,12 +65,16 @@ def main(argv=None):
         threshold=int(args['-t']), nc=int(args['-M']),
         chunk=int(args['-c']))
     out = args['-o']
-    blastp_to_file(args['-i'], args['-d'], out or sys.stdout, cfg,
-                   db_prefix=args['-D'],
-                   q_start=int(args['-l']), q_end=int(args['-u']),
-                   r_start=int(args['-L']), r_end=int(args['-U']),
-                   append=args['-O'].startswith('a'),
-                   spill_dir=args['-T'] or None)
+    # fleet (SWIFTORTHO_COORD) or local multi-device (SWIFTORTHO_MESH=1)
+    # runs shard the device batches over the global mesh
+    from ..parallel.distributed import search_mesh_context
+    with search_mesh_context():
+        blastp_to_file(args['-i'], args['-d'], out or sys.stdout, cfg,
+                       db_prefix=args['-D'],
+                       q_start=int(args['-l']), q_end=int(args['-u']),
+                       r_start=int(args['-L']), r_end=int(args['-U']),
+                       append=args['-O'].startswith('a'),
+                       spill_dir=args['-T'] or None)
     return 0
 
 

@@ -72,7 +72,9 @@ def main(argv=None):
             for line in nr_expand(fh):
                 out.write(line)
     else:
-        blastp_to_file(fas, fas, sc_path, scfg)
+        from ..parallel.distributed import search_mesh_context
+        with search_mesh_context():
+            blastp_to_file(fas, fas, sc_path, scfg)
     log_event('search', seconds=round(time() - t0, 3))
     print('all to all homologous searching time:', time() - t0)
 

@@ -104,22 +104,36 @@ def sw_align_sharded(mesh: Mesh, tok0, tok1, len0, len1) -> dict:
         len0 = np.pad(np.asarray(len0), (0, padB - B))
         len1 = np.pad(np.asarray(len1), (0, padB - B))
 
+    multi = len({d.process_index for d in mesh.devices.flat}) > 1
+    psh = NamedSharding(mesh, P(('data', 'db'), None))
+    vsh = NamedSharding(mesh, P(('data', 'db')))
     key = (id(mesh), tok0.shape[1], tok1.shape[1])
     fn = _SHARDED_ALIGN_CACHE.get(key)
     if fn is None:
-        psh = NamedSharding(mesh, P(('data', 'db'), None))
-        vsh = NamedSharding(mesh, P(('data', 'db')))
+        # multi-process mesh: outputs replicate over every process (the
+        # all-gather IS the reference's cross-worker hit-table merge,
+        # find_hit.py:350) so the host-side policy stages — which run
+        # replicated on every host — see the full result
         fn = jax.jit(sw_align_batch.__wrapped__,
                      static_argnames=('kbound', 'go', 'ge'),
                      in_shardings=(psh, psh, vsh, vsh),
-                     out_shardings=vsh)
+                     out_shardings=NamedSharding(mesh, P()) if multi
+                     else vsh)
         _SHARDED_ALIGN_CACHE[key] = fn
+    args = (np.ascontiguousarray(tok0), np.ascontiguousarray(tok1),
+            np.asarray(len0, np.int32), np.asarray(len1, np.int32))
+    if multi:
+        # every process holds the full host batch (replicated host
+        # pipeline); hand jit only the locally-addressable shards
+        from .distributed import host_to_global
+        args = (host_to_global(psh, args[0]), host_to_global(psh, args[1]),
+                host_to_global(vsh, args[2]), host_to_global(vsh, args[3]))
     with mesh:
-        out = fn(tok0, tok1, len0.astype(np.int32), len1.astype(np.int32))
+        out = fn(*args)
     return {k: np.asarray(v)[:B] for k, v in out.items()}
 
 
-def sharded_search_step(mesh: Mesh):
+def sharded_search_step(mesh: Mesh, replicate_out: bool = False):
     """The full per-wave device step, sharded over a 2-D mesh:
 
     queries  (Bq, L)  sharded over 'data'   (replicated over 'db')
@@ -128,6 +142,10 @@ def sharded_search_step(mesh: Mesh):
     output: per-query top-v bit scores after an all-gather merge over 'db'
             (the reference's sort -m merge, find_hit.py:350).
 
+    replicate_out: replicate every output over the whole mesh — required
+    on a multi-process (multi-host) mesh, where a host can only read the
+    shards it owns.
+
     Returns a jitted fn(q_tokens, q_lens, t0, t1, l0, l1, pair_query) ->
     (masked queries, per-pair bits, merged per-query best bit).
     """
@@ -135,6 +153,7 @@ def sharded_search_step(mesh: Mesh):
     qvec = NamedSharding(mesh, P('data'))
     psh = NamedSharding(mesh, P(('data', 'db'), None))
     pvec = NamedSharding(mesh, P(('data', 'db')))
+    rep = NamedSharding(mesh, P())
 
     def step(q_tokens, q_lens, t0, t1, l0, l1, pair_query, nq: int):
         masked = seg_batch.__wrapped__(q_tokens, q_lens)
@@ -151,7 +170,8 @@ def sharded_search_step(mesh: Mesh):
         step,
         static_argnums=(7,),
         in_shardings=(qsh, qvec, psh, psh, pvec, pvec, pvec),
-        out_shardings=(qsh, pvec, NamedSharding(mesh, P())),
+        out_shardings=(rep, rep, rep) if replicate_out
+        else (qsh, pvec, rep),
     )
 
 
@@ -201,7 +221,16 @@ def demo_multichip(n_queries: int = 16, pad: int = 64,
     l1 = np.full(npair, pad - 8, np.int32)
     pq = (np.arange(npair) % nq).astype(np.int32)
 
-    step = sharded_search_step(mesh)
+    multi = len({d.process_index for d in mesh.devices.flat}) > 1
+    step = sharded_search_step(mesh, replicate_out=multi)
+    args = (q, ql.astype(np.int32), t0, t1, l0, l1, pq)
+    if multi:
+        from .distributed import host_to_global
+        shard = (P('data', None), P('data'), P(('data', 'db'), None),
+                 P(('data', 'db'), None), P(('data', 'db')),
+                 P(('data', 'db')), P(('data', 'db')))
+        args = tuple(host_to_global(NamedSharding(mesh, s), a)
+                     for s, a in zip(shard, args))
     with mesh:
-        masked, bits, merged = step(q, ql, t0, t1, l0, l1, pq, nq)
+        masked, bits, merged = step(*args, nq)
     return (np.asarray(masked), np.asarray(bits), np.asarray(merged))

@@ -22,13 +22,22 @@ TPU-native design notes (all constraints measured on the target chip):
 - Path statistics are packed two-per-int32 (idy|aln, mis|gap, sti|stj);
   fields are bounded by 4100+4100 < 2**14 per side.
 
-Window geometry (kbound=16, slot e of parity p at step t):
-  i = t + 9 - e,  j = t + e - 8 + p           (1-based matrix cells)
-  column side: arr0[q] = seq0[q - 16]  ->  q = (j-1)+16 = t+e+7+p,
-     concat4 row (blocks g..g+3, base row 8g) = lt+e+7+p in [7, 31]
-  row side:    arr1[q] = seq1[K - q]   ->  q = K-(i-1) = K-t-8+e... with
+Window geometry (kbound=16, slot e in [0,16) of parity p at step t;
+parity-local slot numbering — p=0 slots are shifted one down vs the
+naive d = -17+2e+p layout so both parities use EXACTLY 16 rows, the
+VPU's native 2x(8,128) sublane tiling with zero padding waste, and share
+one column-side window):
+  p=0:  i = t + 8 - e,  j = t + e - 7      (1-based matrix cells)
+  p=1:  i = t + 9 - e,  j = t + e - 7      (same j per slot as p=0!)
+  column side: arr0[q] = seq0[q - 16]  ->  q = (j-1)+16 = t+e+8,
+     concat4 row (blocks g..g+3, base row 8g) = lt+e+8 in [8, 31]
+     (identical for both parities: computed once per t)
+  row side:    arr1[q] = seq1[K - q]   ->  q = K-(i-1), with
      blocks {kb-2-g .. kb+1-g} (base row K-t0-16):
-     concat4 row = 8-lt+e in [1, 24] subset of [0, 32)
+     concat4 row = 9-lt+e (p=0) / 8-lt+e (p=1), both in [1, 25)
+  neighbor slots (d-1 state X1, d-2 state X2):
+     p=0: left = X1[e] (prev p1), up = shift_up(X1), diag = X2[e]
+     p=1: left = shift_down(X1) (this-t p0), up = X1[e], diag = X2[e]
 """
 
 from __future__ import annotations
@@ -46,7 +55,7 @@ from ..constants import B62_CODES, BLOSUM62_ALPHA, GAP_EXTEND, GAP_OPEN
 
 _STAR, _DIAG, _DASH, _PIPE = 0, 1, 2, 3
 BLK_T = 8
-NS = 17          # slot rows (d = -17+2e+p)
+NS = 16          # slot rows (parity-local e; exactly two (8,128) tiles)
 NCH = 24         # profile channels (codes 0..23; 23 is the -4 junk row)
 NW = 3           # packed profile words: 8 nibble channels per int32
 PACK = 1 << 14   # stats packing base
@@ -66,7 +75,7 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
             h1, top1, ia1, mg1, st1,
             h2, top2, ia2, mg2, st2,
             besth, besti, bestj, bestia, bestmg, bestst,
-            *, go: int, ge: int, stats: bool = True):
+            *, go: int, ge: int, stats: bool = True, ablate: str = ''):
     g = pl.program_id(0)
     t0 = g * BLK_T
 
@@ -100,11 +109,9 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
     best = (besth[...], besti[...], bestj[...],
             bestia[...], bestmg[...], bestst[...])
 
-    def substep(p, lt, st_m1, st_m2, best):
+    def substep(p, lt, c0w, p0w, st_m1, st_m2, best):
         t = t0 + lt
-        c0w = window(c0_refs, lt + 7 + p)
-        p0w = window(p0_refs, lt + 7 + p)
-        c1w = window(c1_refs, 8 - lt)
+        c1w = window(c1_refs, 9 - lt - p)
 
         c1code = jnp.bitwise_and(c1w, 31)
         # profile channels are packed 8-per-int32 as (value+4) nibbles
@@ -112,33 +119,35 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
         # c1code >> 3, extract the nibble with a per-lane variable shift
         # — ~5 VPU ops instead of a 24-way select chain, and 8x less
         # profile VMEM streaming (measured 6.15 -> ~11 Gcells/s).
-        widx = jnp.right_shift(c1code, 3)
-        w = jnp.where(widx == 0, p0w[:, 0, :],
-                      jnp.where(widx == 1, p0w[:, 1, :], p0w[:, 2, :]))
-        sh = jnp.left_shift(jnp.bitwise_and(c1code, 7), 2)
-        sub = jnp.bitwise_and(jnp.right_shift(w, sh), 15) - 4
-        if stats:
-            r1 = jnp.right_shift(c1w, 5)
-            r0 = jnp.right_shift(c0w, 5)
-            eqi = ((r1 == r0) & (r1 > 0)).astype(jnp.int32)
-
-        iv = t + 9 - e_col
-        jv = t + e_col - 8 + p
-        computed = (iv >= 1) & (jv >= 1) & (iv <= l1v) & (jv <= l0v)
-        if p == 0:
-            computed = computed & (e_col >= 1)
+        if 'nosub' in ablate:            # perf probe: profile read+extract
+            sub = jnp.bitwise_and(c1code, 3) - 1
         else:
-            computed = computed & (e_col <= 15)
+            widx = jnp.right_shift(c1code, 3)
+            w = jnp.where(widx == 0, p0w[:, 0, :],
+                          jnp.where(widx == 1, p0w[:, 1, :], p0w[:, 2, :]))
+            sh = jnp.left_shift(jnp.bitwise_and(c1code, 7), 2)
+            sub = jnp.bitwise_and(jnp.right_shift(w, sh), 15) - 4
+        if stats:
+            if 'noeq' in ablate:         # perf probe: c0 window + byte-eq
+                eqi = jnp.bitwise_and(c1w, 1)
+            else:
+                r1 = jnp.right_shift(c1w, 5)
+                r0 = jnp.right_shift(c0w, 5)
+                eqi = ((r1 == r0) & (r1 > 0)).astype(jnp.int32)
+
+        iv = t + 8 + p - e_col
+        jv = t + e_col - 7
+        computed = (iv >= 1) & (jv >= 1) & (iv <= l1v) & (jv <= l0v)
 
         H1, TOP1, IA1, MG1, ST1 = st_m1
         if p == 0:
-            Hl, TOPl, IAl, MGl, STl = map(_shift_down,
-                                          (H1, TOP1, IA1, MG1, ST1))
-            Hu, TOPu, IAu, MGu, STu = H1, TOP1, IA1, MG1, ST1
-        else:
             Hl, TOPl, IAl, MGl, STl = H1, TOP1, IA1, MG1, ST1
             Hu, TOPu, IAu, MGu, STu = map(_shift_up,
                                           (H1, TOP1, IA1, MG1, ST1))
+        else:
+            Hl, TOPl, IAl, MGl, STl = map(_shift_down,
+                                          (H1, TOP1, IA1, MG1, ST1))
+            Hu, TOPu, IAu, MGu, STu = H1, TOP1, IA1, MG1, ST1
         Hd, IAd, MGd, STd = st_m2[0], st_m2[2], st_m2[3], st_m2[4]
 
         trl = jnp.right_shift(TOPl, 2)
@@ -200,6 +209,8 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
             zero = jnp.zeros((NS, B), jnp.int32)
             IAn = MGn = STn = zero
 
+        if 'nobest' in ablate:           # perf probe: best-cell tracking
+            return (Hn, TOPn, IAn, MGn, STn), best
         # running best: strictly greater, ties to smallest (i, j).
         # keys are unique among computed slots (distinct i per slot).
         NEG = jnp.int32(-2 ** 30)
@@ -225,8 +236,10 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
         return (Hn, TOPn, IAn, MGn, STn), nbest
 
     for lt in range(BLK_T):
-        st_odd, best = substep(0, lt, st_m1, st_m2, best)
-        st_even, best = substep(1, lt, st_odd, st_m1, best)
+        c0w = window(c0_refs, lt + 8)       # same j per slot: shared
+        p0w = window(p0_refs, lt + 8)       # across both parities
+        st_odd, best = substep(0, lt, c0w, p0w, st_m1, st_m2, best)
+        st_even, best = substep(1, lt, c0w, p0w, st_odd, st_m1, best)
         st_m2 = st_odd
         st_m1 = st_even
 
@@ -277,12 +290,13 @@ def _encode(tok):
 
 
 @functools.partial(jax.jit, static_argnames=('go', 'ge', 'interpret',
-                                             'score_only'))
+                                             'score_only', 'ablate'))
 def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
                           len0: jnp.ndarray, len1: jnp.ndarray,
                           go: int = GAP_OPEN, ge: int = GAP_EXTEND,
                           interpret: bool = False,
-                          score_only: bool = False) -> dict:
+                          score_only: bool = False,
+                          ablate: str = '') -> dict:
     """Drop-in for sw_align_batch (kbound fixed at 16). tok* are (B, L)
     uint8 padded batches; returns the same (B,) int32 result arrays."""
     B, L0 = tok0.shape
@@ -332,7 +346,7 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
         l0r, l1r, out = refs[12], refs[13], refs[14]
         scratch = refs[15:]
         _kernel(c0r, c1r, p0r, l0r, l1r, out, *scratch, go=go, ge=ge,
-                stats=not score_only)
+                stats=not score_only, ablate=ablate)
 
     out = pl.pallas_call(
         kern,

@@ -65,7 +65,25 @@ def _tpu_worker():
         r = int(np.asarray(run(trial, t0, t1, l0, l1)))
         dt = (time.time() - tt) / ITERS
         best = max(best, CELLS / dt)
-    print(json.dumps({'cells_per_s': best, 'chk': chk}), flush=True)
+
+    # real-chip correctness gate: every output field of the compiled
+    # kernel must be bit-identical to the C++ oracle (the interpret-mode
+    # tests cannot see chip-specific lowering bugs); a mismatch zeroes
+    # the reported value so a wrong-but-fast kernel can never score
+    parity = True
+    try:
+        from swiftortho_tpu.native import sw_align_batch_native
+        got = {k: np.asarray(v)
+               for k, v in sw_align_batch_pallas(
+                   jnp.asarray(t0), jnp.asarray(t1),
+                   jnp.asarray(l0), jnp.asarray(l1)).items()}
+        want = sw_align_batch_native(t0, t1, l0, l1)
+        parity = all(np.array_equal(got[k], np.asarray(want[k]))
+                     for k in want)
+    except Exception:
+        pass                                   # no g++: skip the gate
+    print(json.dumps({'cells_per_s': best if parity else 0.0,
+                      'chk': chk, 'parity': parity}), flush=True)
 
 
 def _cpu_worker():

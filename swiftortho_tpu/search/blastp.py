@@ -295,6 +295,11 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
 
     ``spill_dir``: spill candidates (and masked wave tokens) to disk so
     phase A's memory is bounded by one chunk index + one wave.
+
+    Phase A runs on a producer thread overlapped with phase B's device
+    work (a wave is consumed only once the final chunk has contributed
+    its candidates, so results are byte-identical to the serial
+    schedule; SWIFTORTHO_OVERLAP=0 disables).
     """
     alphabets = cfg.resolved_alphabets()
     D = len(ref)
@@ -360,19 +365,67 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
     else:
         _gen_cands = generate_candidates
 
-    _tA0 = _time.time()
-    for index in source:
-        for wi in range(len(waves)):
-            toks, lens = wave_tokens(wi)
-            spill.append(wi, _gen_cands(toks, lens, ref, index,
-                                        alphabets, cfg.seeds))
-        del index
-    log_event('search_phaseA', chunks=len(source), waves=len(waves),
-              max_resident_indexes=source.max_resident,
-              cand_s=round(_time.time() - _tA0, 2))
+    # Overlap: phase A runs on a producer thread while phase B consumes
+    # waves as they complete (a wave is complete once the LAST chunk has
+    # generated its candidates — earlier chunks only append to the spill).
+    # Phase A is host work (numpy + the GIL-releasing native chain
+    # engine); phase B mostly waits on device fetches — the two pipeline
+    # cleanly and the output is unchanged (phase B reads a wave only
+    # after every chunk contributed, exactly as the serial order did).
+    # SWIFTORTHO_OVERLAP=0 restores the serial schedule.
+    import queue as _qmod
+    import threading as _threading
+
+    overlap = _os.environ.get('SWIFTORTHO_OVERLAP', '1') != '0'
+    wave_ready: '_qmod.Queue[int]' = _qmod.Queue()
+    phaseA_err: list = []
+
+    def _phaseA():
+        try:
+            _tA0 = _time.time()
+            n_chunks = len(source)
+            ci = -1
+            # no enumerate(): its reused result tuple would pin the
+            # previous chunk index alive while the next one builds,
+            # breaking the max-one-resident-index guarantee
+            for index in source:
+                ci += 1
+                last = ci == n_chunks - 1
+                for wi in range(len(waves)):
+                    toks, lens = wave_tokens(wi)
+                    spill.append(wi, _gen_cands(toks, lens, ref, index,
+                                                alphabets, cfg.seeds))
+                    if last:
+                        wave_ready.put(wi)
+                del index
+            if n_chunks == 0:
+                for wi in range(len(waves)):
+                    wave_ready.put(wi)
+            log_event('search_phaseA', chunks=n_chunks, waves=len(waves),
+                      max_resident_indexes=source.max_resident,
+                      overlap=overlap,
+                      cand_s=round(_time.time() - _tA0, 2))
+        except BaseException as e:          # propagate into the consumer
+            phaseA_err.append(e)
+            wave_ready.put(-1)
+
+    if overlap:
+        _prod = _threading.Thread(target=_phaseA, name='phaseA',
+                                  daemon=True)
+        _prod.start()
+    else:
+        _phaseA()
+        if phaseA_err:
+            raise phaseA_err[0]
 
     # ---- phase B: per-wave merge, rank, align, policy, emit ----
+    _seen_ready: set = set()
     for wi, (wst, wend) in enumerate(waves):
+        while overlap and wi not in _seen_ready:
+            got = wave_ready.get()
+            if got == -1:
+                raise phaseA_err[0]
+            _seen_ready.add(got)
         _t0 = _time.time()
         toks, lens = wave_tokens(wi)
         if isinstance(masked.get(wi), str):
@@ -568,6 +621,11 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                            hid, ref.ids[j], _fmt_idy(idy), aln, mis, gap,
                            qst1, qed, sst1, sed, f2s(e), float(bit),
                            qlen, slen, gi, ref.headers[j]))
+
+    if overlap:
+        _prod.join()
+        if phaseA_err:
+            raise phaseA_err[0]
 
 
 def _align_long_tiles(q_tokens, q_lengths, ref: SeqDB, long_idx,

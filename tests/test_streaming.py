@@ -65,6 +65,29 @@ class TestStreamedIndex:
         assert src.max_resident == 1
 
 
+class TestOverlap:
+    def test_overlap_off_identical(self, corpus, monkeypatch):
+        """The phase-A producer thread must not change output vs the
+        serial schedule (it only changes timing)."""
+        cfg = SearchConfig(**CFG)
+        on = list(blastp_stream(corpus, corpus, cfg))
+        monkeypatch.setenv('SWIFTORTHO_OVERLAP', '0')
+        off = list(blastp_stream(corpus, corpus, cfg))
+        assert on == off and len(on) > 0
+
+    def test_phase_a_error_propagates(self, corpus):
+        class Boom(RuntimeError):
+            pass
+
+        def bad(ci):
+            raise Boom('index build failed')
+
+        src = IndexSource(3, bad)
+        with pytest.raises(Boom):
+            list(blastp_stream(corpus, corpus, SearchConfig(**CFG),
+                               indexes=src))
+
+
 class TestCandidateSpill:
     def test_disk_roundtrip(self, tmp_path):
         from swiftortho_tpu.search.candidates import Candidates

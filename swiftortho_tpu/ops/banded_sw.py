@@ -373,6 +373,12 @@ def _sw_align_chunked(t0, t1, l0, l1, score_only=False):
 
 _COMPILED_NPOW: dict = {}
 
+# wall-time decomposition of the TPU align path, accumulated across calls
+# (pad_s: host padding; call_s: H2D + trace/enqueue; fetch_s: completion +
+# D2H; pairs/padded: batch accounting).  blastp logs + resets per wave.
+ALIGN_PROF = {'pad_s': 0.0, 'call_s': 0.0, 'fetch_s': 0.0,
+              'pairs': 0, 'padded': 0, 'calls': 0}
+
 
 def sw_align_auto(tok0, tok1, len0, len1, score_only=False):
     """Dispatch to the Pallas TPU kernel when running on TPU (fixed
@@ -410,6 +416,8 @@ def sw_align_auto(tok0, tok1, len0, len1, score_only=False):
             while npow < n:
                 npow *= 2
             seen.add(npow)
+        import time as _t
+        _w0 = _t.time()
         pad = npow * _CHUNK - B
         if pad:
             tok0 = np.pad(tok0, ((0, pad), (0, 0)))
@@ -418,11 +426,21 @@ def sw_align_auto(tok0, tok1, len0, len1, score_only=False):
             len1 = np.pad(len1, (0, pad))
         sh0 = (npow, _CHUNK, tok0.shape[1])
         sh1 = (npow, _CHUNK, tok1.shape[1])
+        _w1 = _t.time()
         out = _sw_align_chunked(tok0.reshape(sh0), tok1.reshape(sh1),
                                 len0.reshape(npow, _CHUNK).astype(np.int32),
                                 len1.reshape(npow, _CHUNK).astype(np.int32),
                                 score_only=bool(score_only))
-        return {k: np.asarray(v).reshape(-1)[:B] for k, v in out.items()}
+        _w2 = _t.time()
+        res = {k: np.asarray(v).reshape(-1)[:B] for k, v in out.items()}
+        _w3 = _t.time()
+        ALIGN_PROF['pad_s'] += _w1 - _w0
+        ALIGN_PROF['call_s'] += _w2 - _w1
+        ALIGN_PROF['fetch_s'] += _w3 - _w2
+        ALIGN_PROF['pairs'] += B
+        ALIGN_PROF['padded'] += npow * _CHUNK
+        ALIGN_PROF['calls'] += 1
+        return res
     try:        # host: the C++ kernel is ~10x the portable lax.scan one
         from ..native import sw_align_batch_native
         return sw_align_batch_native(np.asarray(tok0), np.asarray(tok1),

@@ -1,0 +1,249 @@
+"""Device-side pair packing for the transfer-light TPU align path.
+
+The banded-SW stage consumes per-pair (column, row) token suffixes.  The
+reference gathers them on the host by construction (fsearch.py:3059-3101
+reads the mmapped reference per candidate); round 1 shipped host-gathered
+(B, L) pair arrays to the device.  This machine's TPU sits behind a
+~50 MB/s tunnel (BASELINE.md), so shipped pair tokens — ~15x the unique
+data, since every query row re-ships per candidate and every subject row
+per hit — dominated the align wall time.
+
+This module keeps a row-padded token table device-resident (uploaded
+once per search for the reference set, once per wave for the queries)
+and ships only per-pair integers (row index, suffix offset, suffix
+length).  The (B, L) pair arrays are then built ON DEVICE:
+
+- row lookup: ``jnp.take(table, idx, axis=0)`` — a row-granularity
+  dynamic-slice, fast on this backend (element gathers run at 0.01 G/s
+  and are never used);
+- suffix shift: a log2(W)-stage barrel roll (each stage is a concat of
+  two static lane slices + a per-row select), then a length mask.
+
+Output is byte-identical to the host gather path (native.gather_rows
+feeding the same kernel); tests force this path on CPU and diff.
+
+SWIFTORTHO_DEVICE_PACK: '0' disables (host gather path), 'force'
+enables on any backend (tests), default auto (TPU/axon only).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+ROW_ALIGN = 128
+# sequences longer than this stay on the host gather path (the table
+# width is shared by every row, so one huge protein would multiply the
+# whole table's footprint and roll cost)
+STRIDE_CAP = 4096
+# skip the device table entirely when it would not fit comfortably
+TABLE_BYTE_CAP = 2 << 30
+
+
+def _pack(table, idx, off, n, L: int):
+    """(B,) rows/offsets/lengths -> (B, L) token array, on device.
+
+    out[b, l] = table[idx[b], off[b] + l] for l < n[b], else 0.
+    Requires 0 <= off < W; n <= W - off (callers guarantee both: offsets
+    are in-sequence band anchors, n is the suffix length clipped to L).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.take(table, idx, axis=0)
+    W = table.shape[1]
+    for k in range((W - 1).bit_length()):
+        bit = ((off >> k) & 1).astype(bool)[:, None]
+        rolled = jnp.concatenate([x[:, (1 << k):], x[:, :(1 << k)]], axis=1)
+        x = jnp.where(bit, rolled, x)
+    x = x[:, :L]
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    return jnp.where(lane < n[:, None], x, jnp.uint8(0))
+
+
+def _packed_align(db_table, q_table, i0, o0, n0, i1, o1, n1,
+                  score_only: bool, L0: int, L1: int):
+    """Jitted: build both pair arrays on device and run the chunked
+    kernel.  Shapes are static per (L0, L1, npow, table rows, widths)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .banded_sw import _CHUNK, _sw_align_chunked, sw_align_batch
+
+    W = max(db_table.shape[1], q_table.shape[1])
+    if db_table.shape[1] < W:
+        db_table = jnp.pad(db_table, ((0, 0), (0, W - db_table.shape[1])))
+    if q_table.shape[1] < W:
+        q_table = jnp.pad(q_table, ((0, 0), (0, W - q_table.shape[1])))
+    table = jnp.concatenate([db_table, q_table], axis=0)
+    t0 = _pack(table, i0, o0, n0, L0)
+    t1 = _pack(table, i1, o1, n1, L1)
+    if jax.default_backend() not in ('tpu', 'axon'):
+        # CPU (tests force the pack path there): the portable lax.scan
+        # kernel — bit-identical to the pallas/native ones by the
+        # four-implementation parity contract
+        return sw_align_batch(t0, t1, n0, n1)
+    B = t0.shape[0]
+    npow = B // _CHUNK
+    sh0 = (npow, _CHUNK, L0)
+    sh1 = (npow, _CHUNK, L1)
+    return _sw_align_chunked(t0.reshape(sh0), t1.reshape(sh1),
+                             n0.reshape(npow, _CHUNK),
+                             n1.reshape(npow, _CHUNK),
+                             score_only=score_only)
+
+
+_packed_align_jit = None
+
+
+def _get_packed_align():
+    global _packed_align_jit
+    if _packed_align_jit is None:
+        import jax
+        _packed_align_jit = jax.jit(
+            _packed_align, static_argnames=('score_only', 'L0', 'L1'))
+    return _packed_align_jit
+
+
+class DevicePackContext:
+    """Per-search device token tables + the packed align entry.
+
+    ``db_rows``: every reference sequence (<= STRIDE_CAP long) as one
+    zero-padded row; a pair's subject tokens are row ``sid``.  The
+    query side reuses the wave's padded token batch (set_wave), its rows
+    addressed as ``n_db + qrow``.  Rows are padded to stable shapes
+    (table to the full reference size, wave to the wave capacity) so
+    XLA compiles once per (L0, L1, score_only, npow).
+    """
+
+    def __init__(self, db):
+        lens = (db.offsets[1:] - db.offsets[:-1]).astype(np.int64)
+        n = len(lens)
+        maxlen = int(lens.max()) if n else 1
+        stride = -(-min(maxlen, STRIDE_CAP) // ROW_ALIGN) * ROW_ALIGN
+        stride = max(stride, ROW_ALIGN)
+        self.stride = stride
+        self.fits = lens <= stride
+        self.n_db = n
+        self.ok = n * stride <= TABLE_BYTE_CAP
+        self.wave_capacity = 0       # driver sets to the wave size so
+        self._tab_dev = None         # tail waves reuse compiled shapes
+        self._db = db
+        self._wave_key = None
+        self._wave_dev = None
+        self._wave_width = 0
+
+    def _table(self):
+        if self._tab_dev is None:
+            import jax.numpy as jnp
+            db = self._db
+            lens = (db.offsets[1:] - db.offsets[:-1]).astype(np.int64)
+            tab = np.zeros((self.n_db, self.stride), np.uint8)
+            mask = (np.arange(self.stride, dtype=np.int64)[None, :]
+                    < np.minimum(lens, self.stride)[:, None])
+            # db.tokens is the row-major concatenation of the sequences,
+            # so boolean assignment fills each row's prefix in order —
+            # except rows longer than stride, whose tails must be cut
+            if bool(self.fits.all()):
+                tab[mask] = db.tokens[:int(lens.sum())]
+            else:
+                src = np.concatenate(
+                    [db.tokens[db.offsets[i]:
+                               db.offsets[i] + min(int(lens[i]),
+                                                   self.stride)]
+                     for i in range(self.n_db)]) if self.n_db else \
+                    np.zeros(0, np.uint8)
+                tab[mask] = src
+            self._tab_dev = jnp.asarray(tab)
+            self._db = None          # the table replaces it
+        return self._tab_dev
+
+    def set_wave(self, toks: np.ndarray):
+        """Upload the wave's padded query rows (cached by identity);
+        rows are padded to ``wave_capacity`` so tail waves reuse the
+        compiled shapes."""
+        if self._wave_key is not toks:
+            import jax.numpy as jnp
+            t = toks
+            cap = max(self.wave_capacity, t.shape[0])
+            if t.shape[0] < cap:
+                t = np.pad(t, ((0, cap - t.shape[0]), (0, 0)))
+            self._wave_dev = jnp.asarray(t)
+            self._wave_key = toks
+            self._wave_width = toks.shape[1]
+
+    def active(self) -> bool:
+        if not self.ok:
+            return False
+        mode = os.environ.get('SWIFTORTHO_DEVICE_PACK', '')
+        if mode == '0':
+            return False
+        if mode == 'force':
+            return True
+        import jax
+        from ..parallel import mesh as _meshmod
+        if _meshmod.active_search_mesh() is not None:
+            return False
+        return jax.default_backend() in ('tpu', 'axon')
+
+    def run(self, i0, o0, n0, i1, o1, n1, L0: int, L1: int,
+            score_only: bool = False) -> dict:
+        """Align B pairs; mirrors sw_align_auto's TPU branch (pow-of-two
+        chunk-count reuse, ALIGN_PROF accounting) with scalars-only H2D.
+        Returns {field: np.ndarray(B)}; in score_only mode only
+        score/bi/bj are fetched (the rest are zeros, as the kernel
+        computes them)."""
+        import time as _t
+
+        import jax.numpy as jnp
+
+        from .banded_sw import _CHUNK, _COMPILED_NPOW, ALIGN_PROF
+
+        # the pair arrays cannot be wider than the combined table; the
+        # kernel's results depend only on the lengths, so clamping the
+        # pad width is output-neutral
+        W = max(self.stride, self._wave_width)
+        L0, L1 = min(L0, W), min(L1, W)
+
+        B = len(i0)
+        _w0 = _t.time()
+        n = -(-B // _CHUNK)
+        key = ('packed', L0, L1, bool(score_only))
+        seen = _COMPILED_NPOW.setdefault(key, set())
+        usable = [p for p in seen if p >= n]
+        if usable:
+            npow = min(usable)
+        else:
+            npow = 1
+            while npow < n:
+                npow *= 2
+            seen.add(npow)
+        pad = npow * _CHUNK - B
+
+        def prep(a):
+            a = np.ascontiguousarray(a, dtype=np.int32)
+            return np.pad(a, (0, pad)) if pad else a
+
+        i0, o0, n0 = prep(i0), prep(o0), prep(n0)
+        i1, o1, n1 = prep(i1), prep(o1), prep(n1)
+        _w1 = _t.time()
+        out = _get_packed_align()(
+            self._table(), self._wave_dev,
+            jnp.asarray(i0), jnp.asarray(o0), jnp.asarray(n0),
+            jnp.asarray(i1), jnp.asarray(o1), jnp.asarray(n1),
+            score_only=bool(score_only), L0=L0, L1=L1)
+        _w2 = _t.time()
+        fields = ('score', 'bi', 'bj') if score_only else tuple(out)
+        res = {k: np.asarray(out[k]).reshape(-1)[:B] for k in fields}
+        if score_only:
+            for k in out:
+                if k not in res:
+                    res[k] = np.zeros(B, np.int32)
+        _w3 = _t.time()
+        ALIGN_PROF['pad_s'] += _w1 - _w0
+        ALIGN_PROF['call_s'] += _w2 - _w1
+        ALIGN_PROF['fetch_s'] += _w3 - _w2
+        ALIGN_PROF['pairs'] += B
+        ALIGN_PROF['padded'] += npow * _CHUNK
+        ALIGN_PROF['calls'] += 1
+        return res

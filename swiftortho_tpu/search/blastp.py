@@ -64,9 +64,16 @@ def _mask_queries(qry: SeqDB, idx: np.ndarray, pad: int, flt: bool):
 
 
 def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
-                 band_q, band_s, buckets, score_only: bool = False) -> dict:
+                 band_q, band_s, buckets, score_only: bool = False,
+                 pack_ctx=None) -> dict:
     """Align candidate pairs with the reference swap rule, bucketed by
-    padded suffix length.  Returns reference-coordinate results."""
+    padded suffix length.  Returns reference-coordinate results.
+
+    ``pack_ctx`` (ops.device_pack.DevicePackContext): when active, pairs
+    whose subject fits the device token table are aligned with
+    scalars-only H2D (the tokens are packed on device); the rest — and
+    every pair when inactive — go through the host gather path.  Both
+    feed the same kernel and are byte-identical."""
     n = len(qrow)
     lq = q_lengths[qrow].astype(np.int64)
     ls = (db.offsets[subject + 1] - db.offsets[subject]).astype(np.int64)
@@ -86,7 +93,36 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
     order = np.argsort(pad_need, kind='stable')
     L = q_tokens.shape[1]
 
+    pack_on = pack_ctx is not None and pack_ctx.active()
+    if pack_on:
+        pack_ctx.set_wave(q_tokens)
+
+    def run_bucket_dev(sel, bucket):
+        sw = swapped[sel]
+        sid = subject[sel]
+        qr = pack_ctx.n_db + qrow[sel]
+        q_n = np.minimum(sufq[sel], bucket).astype(np.int64)
+        s_n = np.minimum(sufs[sel], bucket).astype(np.int64)
+        best = pack_ctx.run(
+            np.where(sw, sid, qr), np.where(sw, band_s[sel], band_q[sel]),
+            np.where(sw, s_n, q_n),
+            np.where(sw, qr, sid), np.where(sw, band_q[sel], band_s[sel]),
+            np.where(sw, q_n, s_n),
+            L0=bucket, L1=bucket, score_only=score_only)
+        res = postprocess_batch(best, band_q[sel], band_s[sel], sw)
+        for k in ('aln', 'mis', 'gap', 'qst', 'qed', 'sst', 'sed',
+                  'score', 'bit'):
+            out[k][sel] = res[k]
+        out['idy'][sel] = res['idy']
+
     def run_bucket(sel, bucket):
+        if pack_on:
+            fit = pack_ctx.fits[subject[sel]]
+            if fit.any():
+                run_bucket_dev(sel[fit], bucket)
+            sel = sel[~fit]
+            if len(sel) == 0:
+                return
         B = len(sel)
         # vectorized suffix gather: query suffixes come from the padded
         # q_tokens rows, subject suffixes from the flat db token array
@@ -317,6 +353,12 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
 
     vmax = int(max(100, max(cfg.v + 100, cfg.v * 1.1)))
 
+    # device-resident token tables for the transfer-light align path
+    # (ops.device_pack): built lazily, only consulted on TPU backends
+    from ..ops.device_pack import DevicePackContext
+    pack_ctx = DevicePackContext(ref)
+    pack_ctx.wave_capacity = cfg.query_batch
+
     if indexes is None:
         source = IndexSource.from_build(ref, cfg)
     elif isinstance(indexes, IndexSource):
@@ -493,7 +535,7 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                 resA = _align_pairs(toks, lens, ref, qrow[sel_idx],
                                     subj[sel_idx], bq[sel_idx],
                                     bs[sel_idx], cfg.align_buckets,
-                                    score_only=True)
+                                    score_only=True, pack_ctx=pack_ctx)
                 e = (D * lq_all[sel_idx] * ls_all[sel_idx]
                      * np.power(2.0, -resA['bit'].astype(np.float64)))
                 passing = e <= cfg.expect
@@ -506,7 +548,7 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                 sel_idx = sel2
             res = _align_pairs(toks, lens, ref, qrow[sel_idx],
                                subj[sel_idx], bq[sel_idx], bs[sel_idx],
-                               cfg.align_buckets)
+                               cfg.align_buckets, pack_ctx=pack_ctx)
             for k in res:
                 full[k][sel_idx] = res[k]
             aligned[sel_idx] = True
@@ -598,13 +640,20 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                 rows_of[r] = rows
 
         _t_align2 = _time.time()
+        from ..ops.banded_sw import ALIGN_PROF as _AP
         log_event('search_wave', wave=int(wst), queries=int(wend - wst),
                   pairs=int(n_pairs),
                   seg_s=round(_t_seg - _t0, 2),
                   cand_s=round(_t_cand - _t_seg, 2),
                   rank_s=round(_t_prep - _t_cand, 2),
                   align1_s=round(_t_align1 - _t_prep, 2),
-                  policy_s=round(_t_align2 - _t_align1, 2))
+                  policy_s=round(_t_align2 - _t_align1, 2),
+                  **({'aprof': {k: (round(v, 2)
+                                    if isinstance(v, float) else v)
+                                for k, v in _AP.items()}}
+                     if _AP['calls'] else {}))
+        for _k in _AP:
+            _AP[_k] = 0.0 if isinstance(_AP[_k], float) else 0
         for r in range(wend - wst):
             if r not in rows_of:
                 continue

@@ -1,0 +1,71 @@
+"""Device-pack align path (ops/device_pack.py): pair token arrays built
+on device from resident tables + per-pair scalars must be byte-identical
+to the host gather path feeding the same kernel family."""
+
+import numpy as np
+import pytest
+
+from swiftortho_tpu.config import SearchConfig
+from swiftortho_tpu.corpus import make_corpus, write_corpus
+from swiftortho_tpu.io_fasta import SeqDB
+from swiftortho_tpu.ops import device_pack
+from swiftortho_tpu.search.blastp import blastp_stream
+
+CFG = dict(expect=1e-5, nc=262144, query_batch=96)
+
+
+@pytest.fixture(scope='module')
+def corpus(tmp_path_factory):
+    p = tmp_path_factory.mktemp('dpack')
+    fsa = str(p / 'c.fsa')
+    write_corpus(fsa, make_corpus(n_taxa=3, n_families=45, seed=5,
+                                  min_len=60, max_len=200))
+    return SeqDB.from_path(fsa)
+
+
+class TestPackUnit:
+    def test_pack_matches_numpy(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        N, W, B, L = 37, 256, 300, 96
+        table = rng.integers(0, 24, (N, W), dtype=np.uint8)
+        idx = rng.integers(0, N, B)
+        off = rng.integers(0, W, B).astype(np.int32)
+        n = rng.integers(0, L + 1, B).astype(np.int32)
+        # honor the contract: n <= W - off
+        n = np.minimum(n, W - off).astype(np.int32)
+        got = np.asarray(device_pack._pack(
+            jnp.asarray(table), jnp.asarray(idx), jnp.asarray(off),
+            jnp.asarray(n), L))
+        want = np.zeros((B, L), np.uint8)
+        for b in range(B):
+            seg = table[idx[b], off[b]:off[b] + n[b]]
+            want[b, :len(seg)] = seg
+        np.testing.assert_array_equal(got, want)
+
+
+class TestForcedPackPath:
+    def test_byte_identical(self, corpus, monkeypatch):
+        cfg = SearchConfig(**CFG)
+        host = list(blastp_stream(corpus, corpus, cfg))
+        assert len(host) > 0
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', 'force')
+        dev = list(blastp_stream(corpus, corpus, cfg))
+        assert dev == host
+
+    def test_mixed_fit_split(self, corpus, monkeypatch):
+        """Subjects longer than the table stride fall back to the host
+        gather inside the same bucket; the merged output is unchanged."""
+        cfg = SearchConfig(**CFG)
+        host = list(blastp_stream(corpus, corpus, cfg))
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', 'force')
+        monkeypatch.setattr(device_pack, 'STRIDE_CAP', 128)
+        dev = list(blastp_stream(corpus, corpus, cfg))
+        n_long = int((corpus.lengths > 128).sum())
+        assert n_long > 0, 'corpus must exercise the non-fitting split'
+        assert dev == host
+
+    def test_disabled_env(self, corpus, monkeypatch):
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', '0')
+        ctx = device_pack.DevicePackContext(corpus)
+        assert not ctx.active()

@@ -396,6 +396,23 @@ def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
             z = np.zeros(0, dtype=np.int64)
             return Candidates(z, z, z, z, z)
 
+        # posting-capacity guard: stage 2 materializes several
+        # capacity-sized i64 arrays (packed sort keys + workspace);
+        # production-scale waves can exceed device memory and CRASH the
+        # TPU worker (observed on a 41k-seq corpus: C ~ 2^26).  Beyond
+        # the cap, fall back to the bit-identical host engine.
+        import os as _os
+
+        from ..utils import log_event
+        cap = int(_os.environ.get('SWIFTORTHO_DEVICE_CAND_CAP',
+                                  str(1 << 23)))
+        if total_i > cap:
+            log_event('device_candidates_fallback', postings=total_i,
+                      cap=cap)
+            from .candidates import generate_candidates
+            return generate_candidates(q_tokens, q_lengths, db, index,
+                                       alphabets, ssps)
+
         C = 1
         while C < total_i:
             C *= 2

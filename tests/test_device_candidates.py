@@ -75,6 +75,21 @@ class TestDeviceCandidatesParity:
                                          [AA9], '11111111')
         assert len(dev.subject) == 0
 
+    def test_posting_cap_falls_back(self, corpus_db, monkeypatch):
+        """Waves whose posting total exceeds the device-memory cap must
+        fall back to the host engine (identical results) instead of
+        risking a TPU worker crash."""
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_CAND_CAP', '1')
+        db = corpus_db
+        ix = build_index(db, 0, 20, [AA9], '11111111', 1 << 18)
+        toks, lens = _mask_queries(db, np.arange(8, dtype=np.int64),
+                                   128, True)
+        dev = generate_candidates_device(toks, lens, db, ix,
+                                         [AA9], '11111111')
+        host = generate_candidates(toks, lens, db, ix, [AA9], '11111111')
+        assert len(host.subject) > 0
+        _assert_same(dev, host)
+
     def test_unsupported_ranges_fall_back(self, corpus_db):
         db = corpus_db
         ix = build_index(db, 0, 10, [AA9], '11111111', 1 << 18)

@@ -426,6 +426,12 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         try:
             _tA0 = _time.time()
             n_chunks = len(source)
+            # candidate generation is single-thread numpy + a
+            # GIL-releasing native engine; a small wave pool overlaps
+            # the numpy of one wave with the native part of another
+            # (SWIFTORTHO_PRODUCERS=1 restores the serial sweep)
+            nprod = max(1, int(_os.environ.get('SWIFTORTHO_PRODUCERS',
+                                               '2')))
             ci = -1
             # no enumerate(): its reused result tuple would pin the
             # previous chunk index alive while the next one builds,
@@ -433,12 +439,31 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             for index in source:
                 ci += 1
                 last = ci == n_chunks - 1
-                for wi in range(len(waves)):
-                    toks, lens = wave_tokens(wi)
-                    spill.append(wi, _gen_cands(toks, lens, ref, index,
-                                                alphabets, cfg.seeds))
-                    if last:
-                        wave_ready.put(wi)
+                if nprod > 1 and len(waves) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    def work(wi, _ix=index):
+                        toks, lens = wave_tokens(wi)
+                        return wi, _gen_cands(toks, lens, ref, _ix,
+                                              alphabets, cfg.seeds)
+
+                    with ThreadPoolExecutor(nprod) as ex:
+                        for wi, cand in ex.map(work, range(len(waves))):
+                            spill.append(wi, cand)
+                            if last:
+                                wave_ready.put(wi)
+                    # drop the closure (its _ix default pins the chunk
+                    # index) before the next chunk builds, preserving
+                    # the max-one-resident-index guarantee
+                    work = None
+                else:
+                    for wi in range(len(waves)):
+                        toks, lens = wave_tokens(wi)
+                        spill.append(wi, _gen_cands(toks, lens, ref,
+                                                    index, alphabets,
+                                                    cfg.seeds))
+                        if last:
+                            wave_ready.put(wi)
                 del index
             if n_chunks == 0:
                 for wi in range(len(waves)):

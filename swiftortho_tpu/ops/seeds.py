@@ -81,33 +81,40 @@ def hash_seeds_flat(tokens: np.ndarray, seq_of: np.ndarray,
         change[1:] = seq_of[1:] != seq_of[:-1]
         starts_flat = np.maximum.accumulate(
             np.where(change, np.arange(T, dtype=np.int64), 0))
-    for s, (klen, ones) in enumerate(parse_patterns(ssps)):
+    pats = parse_patterns(ssps)
+    for s, (klen, ones) in enumerate(pats):
         n = T - klen + 1
         if n <= 0:
             continue
-        pos = np.arange(0, n, dtype=np.int64)
-        if step > 1:
-            pos = pos[(pos - starts_flat[pos]) % step == 0]
-        # windows fully inside one sequence
-        ok = seq_of[pos] == seq_of[pos + klen - 1]
-        # windows without any masked residue (checks all klen positions,
-        # like the reference's char loop)
-        bad = np.zeros(len(pos), dtype=bool)
-        for j in range(klen):
-            bad |= is_x[pos + j]
+        # validity masks from contiguous slices (no index gathers):
+        # window inside one sequence, no masked residue at any of the
+        # klen positions (the reference's char loop), window stride
+        ok = seq_of[:n] == seq_of[klen - 1:klen - 1 + n]
+        bad = is_x[:n].copy()
+        for j in range(1, klen):
+            bad |= is_x[j:j + n]
         ok &= ~bad
-        pos = pos[ok]
-        if len(pos) == 0:
+        if step > 1:
+            ok &= ((np.arange(n, dtype=np.int64) - starts_flat[:n])
+                   % step == 0)
+        if not ok.any():
             continue
-        cols = [codes[pos + int(j)] for j in ones]
-        h = _fnv_chain(cols, s)
+        # FNV over full-width slices, filtered afterwards: hashing the
+        # ~10% invalid windows too is far cheaper than gathering the
+        # valid ones through index arrays
+        cols = [codes[int(j):int(j) + n] for j in ones]
+        h = _fnv_chain(cols, s)[ok]
         all_b.append((h % np.uint32(nc)).astype(np.int64))
-        all_p.append(pos)
+        all_p.append(np.flatnonzero(ok))
 
     if not all_b:
         return (np.zeros(0, dtype=np.int64),) * 2
     b = np.concatenate(all_b)
     p = np.concatenate(all_p)
+    if len(all_b) == 1:
+        # single pattern: positions are distinct, so (bucket, pos) pairs
+        # are already unique and in order — the dedup is a no-op
+        return b, p
     # dedup (bucket, pos) across patterns (reference fsearch.py:554-556)
     key = b * np.int64(T + 1) + p
     _, first = np.unique(key, return_index=True)

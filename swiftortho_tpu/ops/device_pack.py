@@ -233,7 +233,9 @@ class DevicePackContext:
             jnp.asarray(i1), jnp.asarray(o1), jnp.asarray(n1),
             score_only=bool(score_only), L0=L0, L1=L1)
         _w2 = _t.time()
-        fields = ('score', 'bi', 'bj') if score_only else tuple(out)
+        # prepass consumers read only score (bit derives from it); skip
+        # the D2H of every other field
+        fields = ('score',) if score_only else tuple(out)
         res = {k: np.asarray(out[k]).reshape(-1)[:B] for k in fields}
         if score_only:
             for k in out:

@@ -511,7 +511,17 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         bs = np.concatenate([c.band_s for c in cands])
 
         # per query: rank by chain score desc (ties: subject asc), cut vmax
-        order = np.lexsort((subj, -csc, qrow))
+        # — one packed-key argsort when ranges allow (chain scores are
+        # bounded by ~15x the query length, far under 2^26), else lexsort
+        if (len(qrow) and qrow.max() < (1 << 13) and subj.max() < (1 << 21)
+                and csc.max() < (1 << 26) and csc.min() >= 0):
+            key = ((qrow.astype(np.uint64) << 47)
+                   | ((np.uint64((1 << 26) - 1) - csc.astype(np.uint64))
+                      << 21)
+                   | subj.astype(np.uint64))
+            order = np.argsort(key, kind='stable')
+        else:
+            order = np.lexsort((subj, -csc, qrow))
         qrow, subj, csc, bq, bs = (qrow[order], subj[order], csc[order],
                                    bq[order], bs[order])
         new_q = np.ones(len(qrow), dtype=bool)

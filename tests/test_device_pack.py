@@ -65,6 +65,27 @@ class TestForcedPackPath:
         assert n_long > 0, 'corpus must exercise the non-fitting split'
         assert dev == host
 
+    def test_score_only_fields(self, corpus, monkeypatch):
+        """score_only=True fetches only the score (prepass contract):
+        scores must equal the full run's, other fields read as zeros."""
+        import jax.numpy as jnp  # noqa: F401 - ensures jax is up
+
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', 'force')
+        ctx = device_pack.DevicePackContext(corpus)
+        ctx.set_wave(np.zeros((4, 128), np.uint8))
+        n = 64
+        rng = np.random.default_rng(1)
+        i0 = rng.integers(0, len(corpus), n)
+        i1 = rng.integers(0, len(corpus), n)
+        ln0 = np.minimum(corpus.lengths[i0], 96).astype(np.int64)
+        ln1 = np.minimum(corpus.lengths[i1], 96).astype(np.int64)
+        z = np.zeros(n, np.int64)
+        full = ctx.run(i0, z, ln0, i1, z, ln1, L0=96, L1=96)
+        sc = ctx.run(i0, z, ln0, i1, z, ln1, L0=96, L1=96,
+                     score_only=True)
+        np.testing.assert_array_equal(sc['score'], full['score'])
+        assert (sc['aln'] == 0).all()
+
     def test_disabled_env(self, corpus, monkeypatch):
         monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', '0')
         ctx = device_pack.DevicePackContext(corpus)

@@ -382,6 +382,20 @@ def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
         from .candidates import generate_candidates
         return generate_candidates(q_tokens, q_lengths, db, index,
                                    alphabets, ssps)
+    # Named deviation (platform): on the axon-relayed chip, stage 2
+    # (x64 packed-key sort + while_loop chaining) reproducibly CRASHES
+    # the TPU worker — observed 2026-08-17 at 512- and 2048-query waves,
+    # wedging the single-tenant chip for ~25 min.  The path stays
+    # available on cpu (tests) and directly-attached tpu;
+    # SWIFTORTHO_DEVICE_CAND_UNSAFE=1 overrides for re-testing.
+    import os as _os
+    if (jax.default_backend() == 'axon'
+            and _os.environ.get('SWIFTORTHO_DEVICE_CAND_UNSAFE') != '1'):
+        from ..utils import log_event
+        log_event('device_candidates_fallback', reason='axon_worker_crash')
+        from .candidates import generate_candidates
+        return generate_candidates(q_tokens, q_lengths, db, index,
+                                   alphabets, ssps)
     B, L = q_tokens.shape
     streams = _patterns_static(tuple(alphabets), ssps)
     tbls = _tables(tuple(alphabets))

@@ -65,6 +65,16 @@ class TestForcedPackPath:
         assert n_long > 0, 'corpus must exercise the non-fitting split'
         assert dev == host
 
+    def test_multi_chunk_pack(self, corpus, monkeypatch):
+        """The device table spans the whole reference, so chunked index
+        passes reuse it unchanged; output must match the host path."""
+        cfg = SearchConfig(expect=1e-5, nc=262144, chunk=40,
+                           query_batch=96)
+        host = list(blastp_stream(corpus, corpus, cfg))
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', 'force')
+        dev = list(blastp_stream(corpus, corpus, cfg))
+        assert len(corpus) > 80 and dev == host
+
     def test_score_only_fields(self, corpus, monkeypatch):
         """score_only=True fetches only the score (prepass contract):
         scores must equal the full run's, other fields read as zeros."""

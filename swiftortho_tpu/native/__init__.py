@@ -28,7 +28,7 @@ _lock = threading.Lock()
 _lib = None
 
 
-_SOURCES = ('banded_sw.cpp', 'chain.cpp')
+_SOURCES = ('banded_sw.cpp', 'chain.cpp', 'groupby.cpp')
 _FLAG_SETS = (['-O3', '-march=native'], ['-O3'])
 
 
@@ -96,6 +96,12 @@ def load() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8)]
         lib.gather_rows.restype = None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.expand_group.argtypes = [
+            i64p, i64p, i64p, i64p, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p, i64p, i64p]
+        lib.expand_group.restype = None
         _lib = lib
         return _lib
 
@@ -180,6 +186,44 @@ def gather_rows(src: np.ndarray, starts: np.ndarray,
         c = int(c)
         dst[r, :c] = flat[int(s):int(s) + c]
         dst[r, c:] = 0
+
+
+def expand_group_native(rows: np.ndarray, qst: np.ndarray,
+                        counts: np.ndarray, starts: np.ndarray,
+                        sid: np.ndarray, sst: np.ndarray, n_qrows: int):
+    """Posting expansion + (qrow, sid, diag) grouping with (group, qst)
+    dedup — the native counterpart of the numpy block in
+    search/candidates.py; see native/groupby.cpp for the contract.
+
+    Returns (p_qst, grp_start, grp_size, g_qrow, g_sid, g_diag), all
+    int64; grp_start indexes into p_qst."""
+    lib = load()
+    r, q, c, s = (np.ascontiguousarray(a, np.int64)
+                  for a in (rows, qst, counts, starts))
+    sid = np.ascontiguousarray(sid, np.int32)
+    sst = np.ascontiguousarray(sst, np.int32)
+    total = int(c.sum())
+    o_qst = np.empty(total, np.int64)
+    o_gs = np.empty(total, np.int64)
+    o_gz = np.empty(total, np.int64)
+    o_gq = np.empty(total, np.int64)
+    o_gsid = np.empty(total, np.int64)
+    o_gd = np.empty(total, np.int64)
+    out_n = np.zeros(2, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.expand_group(
+        r.ctypes.data_as(i64p), q.ctypes.data_as(i64p),
+        c.ctypes.data_as(i64p), s.ctypes.data_as(i64p), len(r),
+        sid.ctypes.data_as(i32p), sst.ctypes.data_as(i32p),
+        int(n_qrows),
+        o_qst.ctypes.data_as(i64p), o_gs.ctypes.data_as(i64p),
+        o_gz.ctypes.data_as(i64p), o_gq.ctypes.data_as(i64p),
+        o_gsid.ctypes.data_as(i64p), o_gd.ctypes.data_as(i64p),
+        out_n.ctypes.data_as(i64p))
+    nd, ng = int(out_n[0]), int(out_n[1])
+    return (o_qst[:nd], o_gs[:ng], o_gz[:ng], o_gq[:ng], o_gsid[:ng],
+            o_gd[:ng])
 
 
 def gather_rows_native(src: np.ndarray, starts: np.ndarray,

@@ -1,0 +1,176 @@
+// Posting expansion + (query, subject, diagonal) grouping for the
+// candidate stage — the native counterpart of the numpy block in
+// search/candidates.py (reference semantics: fsearch.py:2679-2691, the
+// per-query dict keyed by (subject, diagonal) with per-(group, qst)
+// dedup of seed points, fsearch.py:554-556 / :2696).
+//
+// Semantics (must match the numpy path exactly):
+//  - expand each kept seed's CSR posting range into (sid, diag, qst)
+//    entries, diag = qst - sst;
+//  - order entries by (qrow asc, sid asc, diag asc, qst asc); relative
+//    order among full duplicates is irrelevant (they are deduped);
+//  - drop entries equal to their predecessor in (qrow, sid, diag, qst);
+//  - a group = a maximal run of equal (qrow, sid, diag).
+//
+// Parallelism: queries are independent; threads take contiguous qrow
+// ranges balanced by posting counts.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Entry {
+    int32_t sid;
+    int32_t diag;
+    int32_t qst;
+};
+
+inline bool entry_less(const Entry& a, const Entry& b) {
+    if (a.sid != b.sid) return a.sid < b.sid;
+    if (a.diag != b.diag) return a.diag < b.diag;
+    return a.qst < b.qst;
+}
+
+unsigned n_threads() {
+    unsigned nt = std::thread::hardware_concurrency();
+    if (const char* env = getenv("SWNATIVE_THREADS")) {
+        long v = atol(env);
+        if (v > 0) nt = (unsigned)v;
+    }
+    if (nt == 0) nt = 1;
+    return nt;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Inputs (per kept seed): rows/qst/counts/starts, n_seeds of each;
+// sid/sst: the index posting arrays (int32).  n_qrows bounds rows[].
+// Outputs: o_qst (>= total entries), o_grp_start / o_grp_size /
+// o_g_qrow / o_g_sid / o_g_diag (>= total), out_n[2] = {n_dedup,
+// n_groups}.  grp_start indexes into the deduped o_qst array.
+void expand_group(const int64_t* rows, const int64_t* qst,
+                  const int64_t* counts, const int64_t* starts,
+                  int64_t n_seeds, const int32_t* sid, const int32_t* sst,
+                  int64_t n_qrows,
+                  int64_t* o_qst, int64_t* o_grp_start,
+                  int64_t* o_grp_size, int64_t* o_g_qrow,
+                  int64_t* o_g_sid, int64_t* o_g_diag, int64_t* out_n) {
+    // seeds grouped by qrow (stable counting sort; order within a qrow
+    // only affects full-duplicate entries, which are deduped anyway)
+    std::vector<int64_t> qcnt(n_qrows + 1, 0);     // postings per qrow
+    std::vector<int64_t> scnt(n_qrows + 1, 0);     // seeds per qrow
+    for (int64_t i = 0; i < n_seeds; i++) {
+        qcnt[rows[i] + 1] += counts[i];
+        scnt[rows[i] + 1] += 1;
+    }
+    for (int64_t q = 0; q < n_qrows; q++) {
+        qcnt[q + 1] += qcnt[q];
+        scnt[q + 1] += scnt[q];
+    }
+    const int64_t total = qcnt[n_qrows];
+    std::vector<int64_t> seed_of(n_seeds);         // seeds in qrow order
+    {
+        std::vector<int64_t> cur(scnt.begin(), scnt.end() - 1);
+        for (int64_t i = 0; i < n_seeds; i++) seed_of[cur[rows[i]]++] = i;
+    }
+
+    std::vector<Entry> buf(total);
+    std::vector<int64_t> ndedup(n_qrows, 0), ngroup(n_qrows, 0);
+
+    // balanced qrow ranges by posting count
+    unsigned nt = n_threads();
+    if (nt > (unsigned)n_qrows && n_qrows > 0) nt = (unsigned)n_qrows;
+    std::vector<int64_t> bounds(nt + 1, n_qrows);
+    bounds[0] = 0;
+    for (unsigned t = 1; t < nt; t++) {
+        int64_t want = total * t / nt;
+        bounds[t] = std::lower_bound(qcnt.begin(), qcnt.begin() + n_qrows,
+                                     want) - qcnt.begin();
+        if (bounds[t] < bounds[t - 1]) bounds[t] = bounds[t - 1];
+    }
+
+    auto work = [&](int64_t qlo, int64_t qhi) {
+        for (int64_t q = qlo; q < qhi; q++) {
+            Entry* dst = buf.data() + qcnt[q];
+            int64_t n = 0;
+            for (int64_t s = scnt[q]; s < scnt[q + 1]; s++) {
+                const int64_t i = seed_of[s];
+                const int64_t st = starts[i], c = counts[i];
+                const int32_t qp = (int32_t)qst[i];
+                for (int64_t k = 0; k < c; k++) {
+                    dst[n].sid = sid[st + k];
+                    dst[n].diag = qp - sst[st + k];
+                    dst[n].qst = qp;
+                    n++;
+                }
+            }
+            std::sort(dst, dst + n, entry_less);
+            // dedup in place + count groups
+            int64_t w = 0, g = 0;
+            for (int64_t k = 0; k < n; k++) {
+                if (k && dst[k].sid == dst[k - 1].sid
+                      && dst[k].diag == dst[k - 1].diag
+                      && dst[k].qst == dst[k - 1].qst)
+                    continue;
+                if (w == 0 || dst[w - 1].sid != dst[k].sid
+                           || dst[w - 1].diag != dst[k].diag)
+                    g++;
+                dst[w++] = dst[k];
+            }
+            ndedup[q] = w;
+            ngroup[q] = g;
+        }
+    };
+    {
+        std::vector<std::thread> threads;
+        for (unsigned t = 0; t < nt; t++)
+            threads.emplace_back(work, bounds[t], bounds[t + 1]);
+        for (auto& th : threads) th.join();
+    }
+
+    // prefix offsets of deduped entries / groups per qrow
+    std::vector<int64_t> doff(n_qrows + 1, 0), goff(n_qrows + 1, 0);
+    for (int64_t q = 0; q < n_qrows; q++) {
+        doff[q + 1] = doff[q] + ndedup[q];
+        goff[q + 1] = goff[q] + ngroup[q];
+    }
+
+    auto emit = [&](int64_t qlo, int64_t qhi) {
+        for (int64_t q = qlo; q < qhi; q++) {
+            const Entry* src = buf.data() + qcnt[q];
+            int64_t d = doff[q], g = goff[q];
+            for (int64_t k = 0; k < ndedup[q]; k++) {
+                if (k == 0 || src[k].sid != src[k - 1].sid
+                           || src[k].diag != src[k - 1].diag) {
+                    if (g > goff[q]) o_grp_size[g - 1] = d - o_grp_start[g - 1];
+                    o_grp_start[g] = d;
+                    o_g_qrow[g] = q;
+                    o_g_sid[g] = src[k].sid;
+                    o_g_diag[g] = src[k].diag;
+                    g++;
+                }
+                o_qst[d++] = src[k].qst;
+            }
+            if (g > goff[q]) o_grp_size[g - 1] = d - o_grp_start[g - 1];
+        }
+    };
+    {
+        std::vector<std::thread> threads;
+        for (unsigned t = 0; t < nt; t++)
+            threads.emplace_back(emit, bounds[t], bounds[t + 1]);
+        for (auto& th : threads) th.join();
+    }
+
+    out_n[0] = doff[n_qrows];
+    out_n[1] = goff[n_qrows];
+}
+
+}  // extern "C"

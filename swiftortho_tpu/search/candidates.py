@@ -160,48 +160,65 @@ def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
         z = np.zeros(0, dtype=np.int64)
         return Candidates(z, z, z, z, z)
     starts, _ = index.posting_range(buckets)
-    seed_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    excl = np.zeros(len(counts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=excl[1:])
-    within = np.arange(total, dtype=np.int64) - excl[seed_of]
-    slot = starts[seed_of] + within
-    sid = index.sid[slot].astype(np.int64)
-    sst = index.sst[slot].astype(np.int64)
-    p_qrow = rows[seed_of]
-    p_qst = qst[seed_of]
 
-    # ---- exact-diagonal grouping + dedup ----
-    diag = p_qst - sst
-    # single packed sort key: (qrow, sid, diag+8192, qst) — bounds:
-    # qrow < 2^13 (driver batch size), sid < 2^21, |diag| < 2^13,
-    # qst < 2^13 (padded query length); lexsort fallback otherwise
-    if (len(sid) and sid.max() < (1 << 21) and p_qrow.max() < (1 << 13)
-            and q_tokens.shape[1] <= (1 << 13)
-            and diag.min() >= -8192 and diag.max() < 8192):
-        key = (((p_qrow << 21) | sid) << 14 | (diag + 8192)) << 13 | p_qst
-        order = np.argsort(key, kind='stable')
-    else:
-        order = np.lexsort((p_qst, diag, sid, p_qrow))
-    p_qrow, sid, diag, p_qst, sst = (p_qrow[order], sid[order], diag[order],
-                                     p_qst[order], sst[order])
-    same = np.zeros(total, dtype=bool)
-    same[1:] = ((p_qrow[1:] == p_qrow[:-1]) & (sid[1:] == sid[:-1])
-                & (diag[1:] == diag[:-1]))
-    new_group = ~same
-    dup = same.copy()
-    dup[1:] &= (p_qst[1:] == p_qst[:-1])
-    keep = ~dup
-    p_qrow, sid, diag, p_qst, sst = (p_qrow[keep], sid[keep], diag[keep],
-                                     p_qst[keep], sst[keep])
-    new_group = new_group[keep]
-    gid = np.cumsum(new_group) - 1
-    n_groups = int(gid[-1]) + 1
+    grouped = False
+    try:
+        # native expansion + sort + dedup + grouping (groupby.cpp):
+        # identical semantics, threaded over queries
+        from ..native import expand_group_native
+        (p_qst, grp_start, grp_size, g_qrow, g_sid, g_diag) = \
+            expand_group_native(rows, qst, counts, starts,
+                                index.sid, index.sst, B)
+        n_groups = len(g_qrow)
+        grouped = True
+    except Exception:
+        pass        # no compiler: vectorized numpy below
 
-    grp_start = np.flatnonzero(new_group)
-    grp_size = np.diff(np.append(grp_start, len(gid)))
-    g_qrow = p_qrow[grp_start]
-    g_sid = sid[grp_start]
-    g_diag = diag[grp_start]
+    if not grouped:
+        seed_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        excl = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=excl[1:])
+        within = np.arange(total, dtype=np.int64) - excl[seed_of]
+        slot = starts[seed_of] + within
+        sid = index.sid[slot].astype(np.int64)
+        sst = index.sst[slot].astype(np.int64)
+        p_qrow = rows[seed_of]
+        p_qst = qst[seed_of]
+
+        # ---- exact-diagonal grouping + dedup ----
+        diag = p_qst - sst
+        # single packed sort key: (qrow, sid, diag+8192, qst) — bounds:
+        # qrow < 2^13 (driver batch size), sid < 2^21, |diag| < 2^13,
+        # qst < 2^13 (padded query length); lexsort fallback otherwise
+        if (len(sid) and sid.max() < (1 << 21) and p_qrow.max() < (1 << 13)
+                and q_tokens.shape[1] <= (1 << 13)
+                and diag.min() >= -8192 and diag.max() < 8192):
+            key = ((((p_qrow << 21) | sid) << 14 | (diag + 8192)) << 13
+                   | p_qst)
+            order = np.argsort(key, kind='stable')
+        else:
+            order = np.lexsort((p_qst, diag, sid, p_qrow))
+        p_qrow, sid, diag, p_qst, sst = (
+            p_qrow[order], sid[order], diag[order], p_qst[order],
+            sst[order])
+        same = np.zeros(total, dtype=bool)
+        same[1:] = ((p_qrow[1:] == p_qrow[:-1]) & (sid[1:] == sid[:-1])
+                    & (diag[1:] == diag[:-1]))
+        new_group = ~same
+        dup = same.copy()
+        dup[1:] &= (p_qst[1:] == p_qst[:-1])
+        keep = ~dup
+        p_qrow, sid, diag, p_qst, sst = (
+            p_qrow[keep], sid[keep], diag[keep], p_qst[keep], sst[keep])
+        new_group = new_group[keep]
+        gid = np.cumsum(new_group) - 1
+        n_groups = int(gid[-1]) + 1
+
+        grp_start = np.flatnonzero(new_group)
+        grp_size = np.diff(np.append(grp_start, len(gid)))
+        g_qrow = p_qrow[grp_start]
+        g_sid = sid[grp_start]
+        g_diag = diag[grp_start]
 
     # ---- chain scoring over groups ----
     s_off = db.offsets[g_sid]

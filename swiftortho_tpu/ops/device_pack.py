@@ -129,9 +129,7 @@ class DevicePackContext:
         self.wave_capacity = 0       # driver sets to the wave size so
         self._tab_dev = None         # tail waves reuse compiled shapes
         self._db = db
-        self._wave_key = None
-        self._wave_dev = None
-        self._wave_width = 0
+        self._wave_cache: list = []  # [(toks_ref, dev, width)], FIFO
 
     def _table(self):
         if self._tab_dev is None:
@@ -158,19 +156,23 @@ class DevicePackContext:
             self._db = None          # the table replaces it
         return self._tab_dev
 
-    def set_wave(self, toks: np.ndarray):
-        """Upload the wave's padded query rows (cached by identity);
-        rows are padded to ``wave_capacity`` so tail waves reuse the
-        compiled shapes."""
-        if self._wave_key is not toks:
-            import jax.numpy as jnp
-            t = toks
-            cap = max(self.wave_capacity, t.shape[0])
-            if t.shape[0] < cap:
-                t = np.pad(t, ((0, cap - t.shape[0]), (0, 0)))
-            self._wave_dev = jnp.asarray(t)
-            self._wave_key = toks
-            self._wave_width = toks.shape[1]
+    def wave_table(self, toks: np.ndarray):
+        """Upload a wave's padded query rows; returns a (device_rows,
+        width) handle.  Cached by array identity (the cache keeps strong
+        references, so ids stay valid); a few entries are retained so
+        pipelined waves don't evict each other."""
+        for ref, dev, width in self._wave_cache:
+            if ref is toks:
+                return dev, width
+        import jax.numpy as jnp
+        t = toks
+        cap = max(self.wave_capacity, t.shape[0])
+        if t.shape[0] < cap:
+            t = np.pad(t, ((0, cap - t.shape[0]), (0, 0)))
+        dev = jnp.asarray(t)
+        self._wave_cache.append((toks, dev, toks.shape[1]))
+        del self._wave_cache[:-4]
+        return dev, toks.shape[1]
 
     def active(self) -> bool:
         if not self.ok:
@@ -186,7 +188,7 @@ class DevicePackContext:
             return False
         return jax.default_backend() in ('tpu', 'axon')
 
-    def run(self, i0, o0, n0, i1, o1, n1, L0: int, L1: int,
+    def run(self, wave, i0, o0, n0, i1, o1, n1, L0: int, L1: int,
             score_only: bool = False) -> dict:
         """Align B pairs; mirrors sw_align_auto's TPU branch (pow-of-two
         chunk-count reuse, ALIGN_PROF accounting) with scalars-only H2D.
@@ -202,7 +204,8 @@ class DevicePackContext:
         # the pair arrays cannot be wider than the combined table; the
         # kernel's results depend only on the lengths, so clamping the
         # pad width is output-neutral
-        W = max(self.stride, self._wave_width)
+        wave_dev, wave_width = wave
+        W = max(self.stride, wave_width)
         L0, L1 = min(L0, W), min(L1, W)
 
         B = len(i0)
@@ -228,7 +231,7 @@ class DevicePackContext:
         i1, o1, n1 = prep(i1), prep(o1), prep(n1)
         _w1 = _t.time()
         out = _get_packed_align()(
-            self._table(), self._wave_dev,
+            self._table(), wave_dev,
             jnp.asarray(i0), jnp.asarray(o0), jnp.asarray(n0),
             jnp.asarray(i1), jnp.asarray(o1), jnp.asarray(n1),
             score_only=bool(score_only), L0=L0, L1=L1)

@@ -95,7 +95,7 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
 
     pack_on = pack_ctx is not None and pack_ctx.active()
     if pack_on:
-        pack_ctx.set_wave(q_tokens)
+        wave_handle = pack_ctx.wave_table(q_tokens)
 
     def run_bucket_dev(sel, bucket):
         sw = swapped[sel]
@@ -104,6 +104,7 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
         q_n = np.minimum(sufq[sel], bucket).astype(np.int64)
         s_n = np.minimum(sufs[sel], bucket).astype(np.int64)
         best = pack_ctx.run(
+            wave_handle,
             np.where(sw, sid, qr), np.where(sw, band_s[sel], band_q[sel]),
             np.where(sw, s_n, q_n),
             np.where(sw, qr, sid), np.where(sw, band_q[sel], band_s[sel]),
@@ -415,12 +416,14 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
     # cleanly and the output is unchanged (phase B reads a wave only
     # after every chunk contributed, exactly as the serial order did).
     # SWIFTORTHO_OVERLAP=0 restores the serial schedule.
-    import queue as _qmod
     import threading as _threading
 
     overlap = _os.environ.get('SWIFTORTHO_OVERLAP', '1') != '0'
-    wave_ready: '_qmod.Queue[int]' = _qmod.Queue()
+    wave_ready = [_threading.Event() for _ in waves]
     phaseA_err: list = []
+
+    def _signal(wi):
+        wave_ready[wi].set()
 
     def _phaseA():
         try:
@@ -451,7 +454,7 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                         for wi, cand in ex.map(work, range(len(waves))):
                             spill.append(wi, cand)
                             if last:
-                                wave_ready.put(wi)
+                                _signal(wi)
                     # drop the closure (its _ix default pins the chunk
                     # index) before the next chunk builds, preserving
                     # the max-one-resident-index guarantee
@@ -463,18 +466,19 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                                                     index, alphabets,
                                                     cfg.seeds))
                         if last:
-                            wave_ready.put(wi)
+                            _signal(wi)
                 del index
             if n_chunks == 0:
                 for wi in range(len(waves)):
-                    wave_ready.put(wi)
+                    _signal(wi)
             log_event('search_phaseA', chunks=n_chunks, waves=len(waves),
                       max_resident_indexes=source.max_resident,
                       overlap=overlap,
                       cand_s=round(_time.time() - _tA0, 2))
         except BaseException as e:          # propagate into the consumer
             phaseA_err.append(e)
-            wave_ready.put(-1)
+            for ev in wave_ready:
+                ev.set()
 
     if overlap:
         _prod = _threading.Thread(target=_phaseA, name='phaseA',
@@ -486,13 +490,17 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             raise phaseA_err[0]
 
     # ---- phase B: per-wave merge, rank, align, policy, emit ----
-    _seen_ready: set = set()
-    for wi, (wst, wend) in enumerate(waves):
-        while overlap and wi not in _seen_ready:
-            got = wave_ready.get()
-            if got == -1:
+    def _wave_body(wi):
+        """Merge, rank, align, policy and format one wave; returns its
+        output rows.  Wave bodies are independent (each owns its tokens
+        and candidate arrays), so a small pipeline pool can run the host
+        side of wave N+1 while wave N waits on device fetches — emission
+        order is preserved by consuming results in wave order."""
+        wst, wend = waves[wi]
+        if overlap:
+            wave_ready[wi].wait()
+            if phaseA_err:
                 raise phaseA_err[0]
-            _seen_ready.add(got)
         _t0 = _time.time()
         toks, lens = wave_tokens(wi)
         if isinstance(masked.get(wi), str):
@@ -689,6 +697,7 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                      if _AP['calls'] else {}))
         for _k in _AP:
             _AP[_k] = 0.0 if isinstance(_AP[_k], float) else 0
+        out_rows = []
         for r in range(wend - wst):
             if r not in rows_of:
                 continue
@@ -700,11 +709,34 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             for row in rows[:max(0, cfg.v)]:
                 (idy, aln, mis, gap, qst1, qed, sst1, sed,
                  e, bit, j, slen) = row
-                yield ('%s\t%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%s\t%f'
-                       '\t%d\t%d\t%d\t%s\n' % (
-                           hid, ref.ids[j], _fmt_idy(idy), aln, mis, gap,
-                           qst1, qed, sst1, sed, f2s(e), float(bit),
-                           qlen, slen, gi, ref.headers[j]))
+                out_rows.append(
+                    '%s\t%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%s\t%f'
+                    '\t%d\t%d\t%d\t%s\n' % (
+                        hid, ref.ids[j], _fmt_idy(idy), aln, mis, gap,
+                        qst1, qed, sst1, sed, f2s(e), float(bit),
+                        qlen, slen, gi, ref.headers[j]))
+        return out_rows
+
+    # wave pipeline width: >1 overlaps wave N+1's host work with wave
+    # N's device waits (results still emitted in wave order); default 2
+    # on TPU backends, serial elsewhere (host align already uses every
+    # core).  SWIFTORTHO_WAVE_PIPELINE overrides.
+    _pipe_env = _os.environ.get('SWIFTORTHO_WAVE_PIPELINE', '')
+    if _pipe_env:
+        pipe_n = max(1, int(_pipe_env))
+    else:
+        import jax as _jaxm
+        pipe_n = 2 if _jaxm.default_backend() in ('tpu', 'axon') else 1
+    if pipe_n > 1 and len(waves) > 1:
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+        with _TPE(pipe_n) as _bex:
+            for _rows in _bex.map(_wave_body, range(len(waves))):
+                for _r in _rows:
+                    yield _r
+    else:
+        for wi in range(len(waves)):
+            for _r in _wave_body(wi):
+                yield _r
 
     if overlap:
         _prod.join()

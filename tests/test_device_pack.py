@@ -82,7 +82,7 @@ class TestForcedPackPath:
 
         monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', 'force')
         ctx = device_pack.DevicePackContext(corpus)
-        ctx.set_wave(np.zeros((4, 128), np.uint8))
+        wv = ctx.wave_table(np.zeros((4, 128), np.uint8))
         n = 64
         rng = np.random.default_rng(1)
         i0 = rng.integers(0, len(corpus), n)
@@ -90,8 +90,8 @@ class TestForcedPackPath:
         ln0 = np.minimum(corpus.lengths[i0], 96).astype(np.int64)
         ln1 = np.minimum(corpus.lengths[i1], 96).astype(np.int64)
         z = np.zeros(n, np.int64)
-        full = ctx.run(i0, z, ln0, i1, z, ln1, L0=96, L1=96)
-        sc = ctx.run(i0, z, ln0, i1, z, ln1, L0=96, L1=96,
+        full = ctx.run(wv, i0, z, ln0, i1, z, ln1, L0=96, L1=96)
+        sc = ctx.run(wv, i0, z, ln0, i1, z, ln1, L0=96, L1=96,
                      score_only=True)
         np.testing.assert_array_equal(sc['score'], full['score'])
         assert (sc['aln'] == 0).all()

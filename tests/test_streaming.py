@@ -75,6 +75,15 @@ class TestOverlap:
         off = list(blastp_stream(corpus, corpus, cfg))
         assert on == off and len(on) > 0
 
+    def test_wave_pipeline_identical(self, corpus, monkeypatch):
+        """Phase-B wave pipelining (2 waves in flight, in-order emit)
+        must not change output."""
+        cfg = SearchConfig(**CFG)
+        serial = list(blastp_stream(corpus, corpus, cfg))
+        monkeypatch.setenv('SWIFTORTHO_WAVE_PIPELINE', '3')
+        piped = list(blastp_stream(corpus, corpus, cfg))
+        assert piped == serial and len(serial) > 0
+
     def test_phase_a_error_propagates(self, corpus):
         class Boom(RuntimeError):
             pass

@@ -102,6 +102,14 @@ def load() -> ctypes.CDLL:
             i32p, i32p, ctypes.c_int64,
             i64p, i64p, i64p, i64p, i64p, i64p, i64p]
         lib.expand_group.restype = None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.candidates_fused.argtypes = [
+            i64p, i64p, i64p, i64p, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int64,
+            u8p, ctypes.c_int64, u8p, i64p, i64p,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int32, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p, i64p]
+        lib.candidates_fused.restype = None
         _lib = lib
         return _lib
 
@@ -224,6 +232,56 @@ def expand_group_native(rows: np.ndarray, qst: np.ndarray,
     nd, ng = int(out_n[0]), int(out_n[1])
     return (o_qst[:nd], o_gs[:ng], o_gz[:ng], o_gq[:ng], o_gsid[:ng],
             o_gd[:ng])
+
+
+def candidates_fused_native(rows: np.ndarray, qst: np.ndarray,
+                            counts: np.ndarray, starts: np.ndarray,
+                            sid: np.ndarray, sst: np.ndarray,
+                            n_qrows: int, q_tokens: np.ndarray,
+                            db_tokens: np.ndarray, db_offsets: np.ndarray,
+                            q_len: np.ndarray, xdrop: int,
+                            min_score: int):
+    """Fused expansion + grouping + exact chain scoring + gate +
+    best-per-(query, subject) — see native/groupby.cpp candidates_fused.
+
+    Returns (qrow, sid, score, diag_fold, diag_raw) int64 arrays of the
+    gated candidates ordered (qrow asc, sid asc); the caller picks the
+    tie-break diagonal column (fold vs raw) with the numpy
+    _finish_candidates range conditions so output stays byte-identical.
+    """
+    lib = load()
+    r, q, c, s = (np.ascontiguousarray(a, np.int64)
+                  for a in (rows, qst, counts, starts))
+    sid = np.ascontiguousarray(sid, np.int32)
+    sst = np.ascontiguousarray(sst, np.int32)
+    q_tokens = np.ascontiguousarray(q_tokens, np.uint8)
+    db_tokens = np.ascontiguousarray(db_tokens, np.uint8)
+    db_offsets = np.ascontiguousarray(db_offsets, np.int64)
+    q_len = np.ascontiguousarray(q_len, np.int64)
+    cap = int(c.sum())              # rows <= groups <= postings
+    o_qrow = np.empty(cap, np.int64)
+    o_sid = np.empty(cap, np.int64)
+    o_score = np.empty(cap, np.int64)
+    o_df = np.empty(cap, np.int64)
+    o_dr = np.empty(cap, np.int64)
+    out_n = np.zeros(1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.candidates_fused(
+        r.ctypes.data_as(i64p), q.ctypes.data_as(i64p),
+        c.ctypes.data_as(i64p), s.ctypes.data_as(i64p), len(r),
+        sid.ctypes.data_as(i32p), sst.ctypes.data_as(i32p), int(n_qrows),
+        q_tokens.ctypes.data_as(u8p), q_tokens.shape[1],
+        db_tokens.ctypes.data_as(u8p),
+        db_offsets.ctypes.data_as(i64p), q_len.ctypes.data_as(i64p),
+        _SUB.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        int(xdrop), int(min_score),
+        o_qrow.ctypes.data_as(i64p), o_sid.ctypes.data_as(i64p),
+        o_score.ctypes.data_as(i64p), o_df.ctypes.data_as(i64p),
+        o_dr.ctypes.data_as(i64p), out_n.ctypes.data_as(i64p))
+    n = int(out_n[0])
+    return o_qrow[:n], o_sid[:n], o_score[:n], o_df[:n], o_dr[:n]
 
 
 def gather_rows_native(src: np.ndarray, starts: np.ndarray,

@@ -173,4 +173,200 @@ void expand_group(const int64_t* rows, const int64_t* qst,
     out_n[1] = goff[n_qrows];
 }
 
+// Fused candidate engine: posting expansion + (sid, diag) grouping +
+// exact chain scoring (reference get_ungap_scores / ungap,
+// fsearch.py:2454-2510 driven over chains by find_msav_m :2696-2713) +
+// the min-score gate + best-chain-per-(query, subject) selection, in one
+// pass with per-thread scratch — no materialized group arrays.
+//
+// Byte-identical to expand_group + chain_scores + the numpy
+// _finish_candidates (search/candidates.py): both tie-break variants are
+// emitted — o_diag_fold follows the packed-key path (score desc, then
+// 11-bit folded (diag+8192)&0x7FF asc, then diag asc), o_diag_raw the
+// lexsort path (score desc, then diag asc) — and the Python wrapper
+// picks the column with exactly the numpy path's range conditions
+// (gated max sid < 2^21, max qrow < 2^13, max score < 2^17).
+//
+// Outputs are ordered (qrow asc, sid asc), matching the numpy sort.
+// Capacities: o_* must hold one row per distinct gated (qrow, sid)
+// (sum(counts) is a safe bound).  out_n[0] = number of rows.
+void candidates_fused(const int64_t* rows, const int64_t* qst,
+                      const int64_t* counts, const int64_t* starts,
+                      int64_t n_seeds, const int32_t* sid,
+                      const int32_t* sst, int64_t n_qrows,
+                      const uint8_t* qtok, int64_t qpad,
+                      const uint8_t* dbtok,
+                      const int64_t* db_offsets,
+                      const int64_t* q_len,
+                      const int8_t* sub256, int32_t xdrop,
+                      int64_t min_score,
+                      int64_t* o_qrow, int64_t* o_sid, int64_t* o_score,
+                      int64_t* o_diag_fold, int64_t* o_diag_raw,
+                      int64_t* out_n) {
+    // seeds grouped by qrow (stable counting sort, as in expand_group)
+    std::vector<int64_t> qcnt(n_qrows + 1, 0);
+    std::vector<int64_t> scnt(n_qrows + 1, 0);
+    for (int64_t i = 0; i < n_seeds; i++) {
+        qcnt[rows[i] + 1] += counts[i];
+        scnt[rows[i] + 1] += 1;
+    }
+    for (int64_t q = 0; q < n_qrows; q++) {
+        qcnt[q + 1] += qcnt[q];
+        scnt[q + 1] += scnt[q];
+    }
+    const int64_t total = qcnt[n_qrows];
+    std::vector<int64_t> seed_of(n_seeds);
+    {
+        std::vector<int64_t> cur(qcnt.size() - 1, 0);
+        for (int64_t q = 0; q < n_qrows; q++) cur[q] = scnt[q];
+        for (int64_t i = 0; i < n_seeds; i++) seed_of[cur[rows[i]]++] = i;
+    }
+
+    unsigned nt = n_threads();
+    if (nt > (unsigned)n_qrows && n_qrows > 0) nt = (unsigned)n_qrows;
+    if (nt == 0) nt = 1;
+    std::vector<int64_t> bounds(nt + 1, n_qrows);
+    bounds[0] = 0;
+    for (unsigned t = 1; t < nt; t++) {
+        int64_t want = total * t / nt;
+        bounds[t] = std::lower_bound(qcnt.begin(), qcnt.begin() + n_qrows,
+                                     want) - qcnt.begin();
+        if (bounds[t] < bounds[t - 1]) bounds[t] = bounds[t - 1];
+    }
+
+    struct OutRow {
+        int64_t qrow, sid, score, diag_fold, diag_raw;
+    };
+    std::vector<std::vector<OutRow>> tout(nt);
+
+    auto fold11 = [](int64_t d) -> int64_t { return (d + 8192) & 0x7FF; };
+
+    auto work = [&](unsigned t, int64_t qlo, int64_t qhi) {
+        std::vector<Entry> scratch;
+        std::vector<OutRow>& out = tout[t];
+        out.reserve((size_t)((qcnt[qhi] - qcnt[qlo]) / 8 + 16));
+        for (int64_t q = qlo; q < qhi; q++) {
+            const int64_t npost = qcnt[q + 1] - qcnt[q];
+            if (npost == 0) continue;
+            scratch.resize(npost);
+            Entry* dst = scratch.data();
+            int64_t n = 0;
+            for (int64_t s = scnt[q]; s < scnt[q + 1]; s++) {
+                const int64_t i = seed_of[s];
+                const int64_t st = starts[i], c = counts[i];
+                const int32_t qp = (int32_t)qst[i];
+                for (int64_t k = 0; k < c; k++) {
+                    dst[n].sid = sid[st + k];
+                    dst[n].diag = qp - sst[st + k];
+                    dst[n].qst = qp;
+                    n++;
+                }
+            }
+            std::sort(dst, dst + n, entry_less);
+            const int64_t ql = q_len[q];
+            const uint8_t* qrow_tok = qtok + q * qpad;
+            // sweep runs of equal (sid, diag); per run: dedup qst inline
+            // + exact chain score (logic of chain.cpp chain_scores);
+            // per run of equal sid: best-of selection under both
+            // tie-break variants, emitted when the best clears the gate
+            int64_t best_score = -1, best_fold = 0, best_diag_fold = 0;
+            int64_t best_raw_score = -1, best_diag_raw = 0;
+            int32_t cur_sid = -1;
+            auto flush_sid = [&]() {
+                if (cur_sid >= 0 && best_score >= min_score)
+                    out.push_back({q, (int64_t)cur_sid, best_score,
+                                   best_diag_fold, best_diag_raw});
+            };
+            int64_t k = 0;
+            while (k < n) {
+                const int32_t gsid = dst[k].sid;
+                const int32_t gdiag = dst[k].diag;
+                const int64_t s_off = db_offsets[gsid];
+                const int64_t sl = db_offsets[gsid + 1] - s_off;
+                const uint8_t* s_tok = dbtok + s_off;
+                const int64_t diag = (int64_t)gdiag;
+                // chain over this run (qst ascending after the sort)
+                int64_t total_sc = 0, x = 0;
+                bool first = true;
+                int32_t prev_qst = -1;
+                for (; k < n && dst[k].sid == gsid && dst[k].diag == gdiag;
+                     k++) {
+                    const int64_t p = dst[k].qst;
+                    if (p == prev_qst) continue;        // (group,qst) dedup
+                    prev_qst = (int32_t)p;
+                    if (!first && p <= x) continue;     // covered: exactly 0
+                    const int64_t qlo_b = first ? 0 : x;
+                    const int64_t slo_b = first ? 0 : x - diag;
+                    // right walk from the seed (strict bounds)
+                    int64_t qp = p, sp = p - diag;
+                    int64_t score = 0, best = 0, max_qed = qp;
+                    while (qlo_b < qp && qp < ql && slo_b < sp && sp < sl) {
+                        score += sub256[(int)qrow_tok[qp] * 256
+                                        + (int)s_tok[sp]];
+                        if (score > best) { best = score; max_qed = qp; }
+                        else if (score + xdrop < best) break;
+                        ++qp; ++sp;
+                    }
+                    // left walk from seed-1, seeded with the right best
+                    qp = p - 1; sp = p - diag - 1;
+                    score = best;
+                    int64_t best_l = best;
+                    while (qp > qlo_b && qp < ql && sp > slo_b && sp < sl) {
+                        score += sub256[(int)qrow_tok[qp] * 256
+                                        + (int)s_tok[sp]];
+                        if (score > best_l) best_l = score;
+                        else if (score + xdrop < best_l) break;
+                        --qp; --sp;
+                    }
+                    total_sc += best_l;
+                    x = max_qed;
+                    first = false;
+                }
+                // fold into the per-sid best (runs arrive diag-ascending)
+                if ((int64_t)gsid != (int64_t)cur_sid) {
+                    flush_sid();
+                    cur_sid = gsid;
+                    best_score = total_sc;
+                    best_fold = fold11(diag);
+                    best_diag_fold = diag;
+                    best_raw_score = total_sc;
+                    best_diag_raw = diag;
+                } else {
+                    const int64_t f = fold11(diag);
+                    if (total_sc > best_score
+                        || (total_sc == best_score && f < best_fold)) {
+                        best_score = total_sc;
+                        best_fold = f;
+                        best_diag_fold = diag;
+                    }
+                    if (total_sc > best_raw_score) {
+                        best_raw_score = total_sc;
+                        best_diag_raw = diag;
+                    }
+                }
+            }
+            flush_sid();
+        }
+    };
+    {
+        std::vector<std::thread> threads;
+        for (unsigned t = 0; t < nt; t++)
+            threads.emplace_back(work, t, bounds[t], bounds[t + 1]);
+        for (auto& th : threads) th.join();
+    }
+
+    int64_t w = 0;
+    for (unsigned t = 0; t < nt; t++) {
+        for (const OutRow& r : tout[t]) {
+            o_qrow[w] = r.qrow;
+            o_sid[w] = r.sid;
+            o_score[w] = r.score;
+            o_diag_fold[w] = r.diag_fold;
+            o_diag_raw[w] = r.diag_raw;
+            w++;
+        }
+    }
+    out_n[0] = w;
+}
+
 }  // extern "C"

@@ -161,6 +161,32 @@ def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
         return Candidates(z, z, z, z, z)
     starts, _ = index.posting_range(buckets)
 
+    try:
+        # fused native engine (groupby.cpp candidates_fused): expansion +
+        # grouping + exact chain scoring + gate + best-per-subject in one
+        # threaded pass, returning only surviving candidates — byte-
+        # identical to the staged paths below (which remain as fallbacks
+        # and as independent oracles for the parity tests)
+        from ..native import candidates_fused_native
+        g_qrow, g_sid, g_score, d_fold, d_raw = candidates_fused_native(
+            rows, qst, counts, starts, index.sid, index.sst, B,
+            q_tokens, db.tokens, db.offsets,
+            q_lengths.astype(np.int64), XDROP, MIN_CHAIN_SCORE)
+        if len(g_score) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return Candidates(z, z, z, z, z)
+        # tie-break column choice: exactly _finish_candidates' conditions
+        if (g_sid.max() < (1 << 21) and g_qrow.max() < (1 << 13)
+                and g_score.max() < (1 << 17)):
+            g_diag = d_fold
+        else:
+            g_diag = d_raw
+        band_q = np.where(g_diag > 0, g_diag, 0)
+        band_s = np.where(g_diag > 0, 0, -g_diag)
+        return Candidates(g_qrow, g_sid, g_score, band_q, band_s)
+    except Exception:
+        pass        # no compiler: staged native / numpy paths below
+
     grouped = False
     try:
         # native expansion + sort + dedup + grouping (groupby.cpp):

@@ -63,6 +63,7 @@ def test_chain_scores_fallback_warns_once(monkeypatch, capsys):
     def boom(*a, **k):
         raise RuntimeError('no compiler')
     monkeypatch.setattr(native, 'chain_scores_native', boom)
+    monkeypatch.setattr(native, 'candidates_fused_native', boom)
 
     import tempfile
     import os

@@ -204,3 +204,60 @@ class TestAlignPairsCatchAll:
                            np.array([0]), np.array([1]),
                            np.array([0]), np.array([0]), buckets=(64,))
         assert res['score'][0] > 0 and res['aln'][0] >= 200
+
+
+class TestFusedCandidates:
+    """The fused native engine (groupby.cpp candidates_fused) must be
+    byte-identical to the staged paths it replaces: expand_group +
+    chain_scores + numpy _finish_candidates, and the pure-numpy
+    fallback."""
+
+    def _paths(self, toks, lens, db, ix, alphas, ssps, monkeypatch):
+        import swiftortho_tpu.native as native
+
+        fused = generate_candidates(toks, lens, db, ix, alphas, ssps)
+
+        def boom(*a, **k):
+            raise RuntimeError('off')
+        with monkeypatch.context() as m:
+            m.setattr(native, 'candidates_fused_native', boom)
+            staged = generate_candidates(toks, lens, db, ix, alphas, ssps)
+        with monkeypatch.context() as m:
+            m.setattr(native, 'candidates_fused_native', boom)
+            m.setattr(native, 'expand_group_native', boom)
+            m.setattr(native, 'chain_scores_native', boom)
+            numpy_fb = generate_candidates(toks, lens, db, ix, alphas,
+                                           ssps)
+        return fused, staged, numpy_fb
+
+    def test_identical_to_staged_and_numpy(self, monkeypatch,
+                                           tmp_path_factory):
+        corpus = make_corpus(n_taxa=3, n_families=20, seed=7,
+                             min_len=100, max_len=250)
+        from swiftortho_tpu.io_fasta import write_fasta
+        p = tmp_path_factory.mktemp('fused') / 'c.fsa'
+        write_fasta(str(p), corpus.records)
+        db = SeqDB.from_path(str(p))
+        ix = build_index(db, 0, len(db), [AA9], '11111111', 1 << 16)
+        toks, lens = db.padded_batch(np.arange(len(db)), 512)
+        from swiftortho_tpu.ops.seg import seg_batch_vec
+        toks = seg_batch_vec(toks, lens)
+        fused, staged, numpy_fb = self._paths(
+            toks, lens, db, ix, [AA9], '11111111', monkeypatch)
+        assert len(fused.qrow) > 0
+        for f in ('qrow', 'subject', 'score', 'band_q', 'band_s'):
+            assert (getattr(fused, f) == getattr(staged, f)).all(), f
+            assert (getattr(fused, f) == getattr(numpy_fb, f)).all(), f
+
+    def test_empty_queries(self, monkeypatch):
+        # queries with no seeds (all low-complexity) exercise the
+        # zero-candidate path of every engine
+        db = _db([('t|a', 'MKVLAWDERTYHACDEFGHIKLMNPQRSTVWY')])
+        ix = build_index(db, 0, 1, [AA9], '11111111', 1 << 16)
+        qdb = _db([('q|x', 'AAAAAAAAAAAAAAAAAAAAAAAAAAAA')])
+        toks, lens = qdb.padded_batch(np.array([0]), 64)
+        from swiftortho_tpu.ops.seg import seg_batch_vec
+        toks = seg_batch_vec(toks, lens)
+        fused, staged, numpy_fb = self._paths(
+            toks, lens, db, ix, [AA9], '11111111', monkeypatch)
+        assert len(fused.qrow) == len(staged.qrow) == len(numpy_fb.qrow)

@@ -28,8 +28,11 @@ class SearchConfig:
     chunk: int = 50_000           # -c reference sequences per index chunk
     sep: str = '|'                # taxon|gene header separator
 
-    # TPU batching knobs (no reference analog)
-    query_batch: int = 2048       # queries processed per wave
+    # TPU batching knobs (no reference analog).  Wave size 4096 + wave
+    # pipeline 4 measured fastest on the 40k corpus (BASELINE.md round-2
+    # table: 45.7s vs 69.7s at 2048/2) — bigger waves amortize dispatch
+    # latency and keep the device busy across the deeper pipeline.
+    query_batch: int = 4096       # queries processed per wave
     align_buckets: tuple = (128, 256, 512, 1024, 2048, 4096)
 
     def resolved_alphabets(self) -> List[str]:

@@ -551,9 +551,14 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
 
         # Staged alignment: the reference's sequential loop stops after
         # mmiss (<=120) consecutive misses, so most queries never look past
-        # their first ~stage-1 candidates; align those first and only
-        # align the tail for queries whose stop condition is unresolved.
-        STAGE1 = 160
+        # their first ~160 candidates; align that rung first and climb the
+        # ladder only for queries whose stop condition is unresolved.
+        # Rung sizes are tunable (SWIFTORTHO_ALIGN_STAGES="160" default);
+        # measured on the 40k corpus, a lower first rung (64) makes ~60%
+        # of queries escalate (stop ranks are deep when corpora are dense)
+        # and the extra dispatch rounds cost more than the saved cells.
+        _stages_env = _os.environ.get('SWIFTORTHO_ALIGN_STAGES', '160')
+        STAGES = tuple(int(s) for s in _stages_env.split(',') if s)
         aligned = np.zeros(n_pairs, dtype=bool)
         full = {k: np.zeros(n_pairs, dtype=np.int64)
                 for k in ('aln', 'mis', 'gap', 'qst', 'qed', 'sst', 'sed',
@@ -597,7 +602,7 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             aligned[sel_idx] = True
 
         _t_prep = _time.time()
-        align_subset(rank < STAGE1)
+        align_subset(rank < STAGES[0])
         _t_align1 = _time.time()
 
         # tiled long pairs: ALL tiles of the wave in one kernel batch
@@ -672,15 +677,25 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                 rows_of[r] = rows
             else:
                 need_more.append(r)
-        if need_more:
+        for stage in list(STAGES[1:]) + [None]:
+            if not need_more:
+                break
             tail_mask = np.zeros(n_pairs, dtype=bool)
             for r in need_more:
                 tail_mask[q_lo[r]:q_hi[r]] = True
+            if stage is not None:
+                tail_mask &= rank < stage
             align_subset(tail_mask)
+            still = []
             for r in need_more:
                 rows, ok = policy_rows(np.arange(q_lo[r], q_hi[r]), r)
-                assert ok, 'policy unresolved after full alignment'
-                rows_of[r] = rows
+                if ok:
+                    rows_of[r] = rows
+                else:
+                    still.append(r)
+            assert stage is not None or not still, \
+                'policy unresolved after full alignment'
+            need_more = still
 
         _t_align2 = _time.time()
         from ..ops.banded_sw import ALIGN_PROF as _AP
@@ -718,15 +733,17 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         return out_rows
 
     # wave pipeline width: >1 overlaps wave N+1's host work with wave
-    # N's device waits (results still emitted in wave order); default 2
-    # on TPU backends, serial elsewhere (host align already uses every
-    # core).  SWIFTORTHO_WAVE_PIPELINE overrides.
+    # N's device waits (results still emitted in wave order); default 4
+    # on TPU backends (measured fastest with 4096-query waves on the 40k
+    # corpus; 6 regresses — host threads start thrashing), serial
+    # elsewhere (host align already uses every core).
+    # SWIFTORTHO_WAVE_PIPELINE overrides.
     _pipe_env = _os.environ.get('SWIFTORTHO_WAVE_PIPELINE', '')
     if _pipe_env:
         pipe_n = max(1, int(_pipe_env))
     else:
         import jax as _jaxm
-        pipe_n = 2 if _jaxm.default_backend() in ('tpu', 'axon') else 1
+        pipe_n = 4 if _jaxm.default_backend() in ('tpu', 'axon') else 1
     if pipe_n > 1 and len(waves) > 1:
         from concurrent.futures import ThreadPoolExecutor as _TPE
         with _TPE(pipe_n) as _bex:

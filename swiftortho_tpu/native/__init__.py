@@ -110,6 +110,18 @@ def load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int32, ctypes.c_int64,
             i64p, i64p, i64p, i64p, i64p, i64p]
         lib.candidates_fused.restype = None
+        lib.index_csr_scatter.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p]
+        lib.index_csr_scatter.restype = None
+        lib.decode_locus.argtypes = [
+            i64p, ctypes.c_int64, i64p, ctypes.c_int64, i32p, i32p]
+        lib.decode_locus.restype = None
+        lib.hash_seeds_pattern.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p]
+        lib.hash_seeds_pattern.restype = None
         _lib = lib
         return _lib
 
@@ -282,6 +294,68 @@ def candidates_fused_native(rows: np.ndarray, qst: np.ndarray,
         o_dr.ctypes.data_as(i64p), out_n.ctypes.data_as(i64p))
     n = int(out_n[0])
     return o_qrow[:n], o_sid[:n], o_score[:n], o_df[:n], o_dr[:n]
+
+
+def hash_seeds_pattern_native(tokens: np.ndarray, seq_of: np.ndarray,
+                              code_tbl: np.ndarray, ones: np.ndarray,
+                              klen: int, pat_idx: int, nc: int,
+                              step: int):
+    """Spaced-seed FNV hashing for one pattern — identical to the numpy
+    block in ops/seeds.hash_seeds_flat (see groupby.cpp for the
+    contract).  Returns (bucket, pos) int64 arrays in window order."""
+    lib = load()
+    tokens = np.ascontiguousarray(tokens, np.uint8)
+    seq_of = np.ascontiguousarray(seq_of, np.int64)
+    code_tbl = np.ascontiguousarray(code_tbl, np.uint8)
+    ones = np.ascontiguousarray(ones, np.int64)
+    n = max(0, len(tokens) - int(klen) + 1)
+    o_b = np.empty(n, np.int64)
+    o_p = np.empty(n, np.int64)
+    out_n = np.zeros(1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.hash_seeds_pattern(
+        tokens.ctypes.data_as(u8p), seq_of.ctypes.data_as(i64p),
+        len(tokens), code_tbl.ctypes.data_as(u8p),
+        ones.ctypes.data_as(i64p), len(ones), int(klen), int(pat_idx),
+        int(nc), int(step),
+        o_b.ctypes.data_as(i64p), o_p.ctypes.data_as(i64p),
+        out_n.ctypes.data_as(i64p))
+    m = int(out_n[0])
+    return o_b[:m], o_p[:m]
+
+
+def index_csr_scatter_native(b: np.ndarray, p: np.ndarray, nc: int):
+    """Stable counting sort of postings into CSR slots (the index-build
+    bottleneck): returns (csr offsets (nc+1,), locus (n,)) identical to
+    numpy bincount + cumsum + stable argsort-take."""
+    lib = load()
+    b = np.ascontiguousarray(b, np.int64)
+    p = np.ascontiguousarray(p, np.int64)
+    csr = np.empty(nc + 1, np.int64)
+    locus = np.empty(len(b), np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.index_csr_scatter(
+        b.ctypes.data_as(i64p), p.ctypes.data_as(i64p), len(b), int(nc),
+        csr.ctypes.data_as(i64p), locus.ctypes.data_as(i64p))
+    return csr, locus
+
+
+def decode_locus_native(soas: np.ndarray, loc: np.ndarray):
+    """Reference-bisect posting decode (largest idx with soas[idx] < loc,
+    clamped at 0); returns (sid, sst) int32."""
+    lib = load()
+    soas = np.ascontiguousarray(soas, np.int64)
+    loc = np.ascontiguousarray(loc, np.int64)
+    sid = np.empty(len(loc), np.int32)
+    sst = np.empty(len(loc), np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.decode_locus(
+        soas.ctypes.data_as(i64p), len(soas),
+        loc.ctypes.data_as(i64p), len(loc),
+        sid.ctypes.data_as(i32p), sst.ctypes.data_as(i32p))
+    return sid, sst
 
 
 def gather_rows_native(src: np.ndarray, starts: np.ndarray,

@@ -369,4 +369,165 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
     out_n[0] = w;
 }
 
+// Index-build counting sort (reference build_msav's two passes,
+// fsearch.py:2240-2266): histogram of bucket ids -> exclusive scan ->
+// stable scatter of postings into CSR slots.  Equivalent to numpy
+// bincount + cumsum + stable argsort-take, which is the single-core
+// bottleneck of build_index.  Threads own disjoint bucket RANGES and
+// each scans the full posting stream, so writes never collide and
+// within-bucket order stays the input order (stability).
+// csr must have nc+1 slots; csr[0] = 0 on return.
+void index_csr_scatter(const int64_t* b, const int64_t* p, int64_t n,
+                       int64_t nc, int64_t* csr, int64_t* locus) {
+    unsigned nt = n_threads();
+    if ((int64_t)nt > nc) nt = nc > 0 ? (unsigned)nc : 1;
+    if (nt == 0) nt = 1;
+    // bucket-range bounds per thread
+    std::vector<int64_t> blo(nt + 1);
+    for (unsigned t = 0; t <= nt; t++) blo[t] = nc * t / nt;
+
+    std::vector<int64_t> cnt(nc, 0);
+    {
+        std::vector<std::thread> threads;
+        for (unsigned t = 0; t < nt; t++)
+            threads.emplace_back([&, t]() {
+                const int64_t lo = blo[t], hi = blo[t + 1];
+                for (int64_t i = 0; i < n; i++) {
+                    const int64_t bi = b[i];
+                    if (lo <= bi && bi < hi) cnt[bi]++;
+                }
+            });
+        for (auto& th : threads) th.join();
+    }
+    csr[0] = 0;
+    for (int64_t c = 0; c < nc; c++) csr[c + 1] = csr[c] + cnt[c];
+    {
+        std::vector<std::thread> threads;
+        for (unsigned t = 0; t < nt; t++)
+            threads.emplace_back([&, t]() {
+                const int64_t lo = blo[t], hi = blo[t + 1];
+                // cnt becomes the running write cursor per bucket
+                for (int64_t c = lo; c < hi; c++) cnt[c] = csr[c];
+                for (int64_t i = 0; i < n; i++) {
+                    const int64_t bi = b[i];
+                    if (lo <= bi && bi < hi) locus[cnt[bi]++] = p[i];
+                }
+            });
+        for (auto& th : threads) th.join();
+    }
+}
+
+// Posting decode: largest idx with soas[idx] < loc (the reference's
+// bisect off-by-one, fsearch.py:134-153 — position-0 seeds land on the
+// previous sequence), i.e. numpy searchsorted(soas, loc, 'left') - 1
+// clamped at 0.  sid gets idx, sst gets loc - soas[idx].
+void decode_locus(const int64_t* soas, int64_t n_soas,
+                  const int64_t* loc, int64_t n,
+                  int32_t* sid, int32_t* sst) {
+    unsigned nt = n_threads();
+    if (nt == 0) nt = 1;
+    std::vector<std::thread> threads;
+    const int64_t step = (n + nt - 1) / (int64_t)nt;
+    for (unsigned t = 0; t < nt; t++) {
+        const int64_t lo = t * step, hi = std::min<int64_t>(n, lo + step);
+        if (lo >= hi) break;
+        threads.emplace_back([&, lo, hi]() {
+            for (int64_t i = lo; i < hi; i++) {
+                const int64_t v = loc[i];
+                int64_t l = 0, r = n_soas;      // first idx with soas >= v
+                while (l < r) {
+                    const int64_t m = (l + r) >> 1;
+                    if (soas[m] < v) l = m + 1; else r = m;
+                }
+                const int64_t idx = l > 0 ? l - 1 : 0;
+                sid[i] = (int32_t)idx;
+                sst[i] = (int32_t)(v - soas[idx]);
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Spaced-seed FNV hashing for ONE pattern (reference spseeds_fnv,
+// fsearch.py:519-556; semantics of ops/seeds.hash_seeds_flat): a window
+// starting at i is valid iff it stays inside one sequence (seq_of[i] ==
+// seq_of[i+klen-1]), contains no seg mask byte 'x'/'X' at ANY of the
+// klen positions, and (step > 1) starts at an in-sequence offset
+// divisible by step.  Hash = FNV-1a over code_tbl[token] at the pattern's
+// one-offsets, then mixed with the pattern index; bucket = h % (u32)nc —
+// the numpy path computes the modulo in uint32, matched exactly here.
+// Two passes (count, emit) so output order is window-position order.
+void hash_seeds_pattern(const uint8_t* tokens, const int64_t* seq_of,
+                        int64_t T, const uint8_t* code_tbl,
+                        const int64_t* ones, int64_t n_ones,
+                        int64_t klen, int64_t pat_idx,
+                        int64_t nc, int64_t step,
+                        int64_t* o_bucket, int64_t* o_pos,
+                        int64_t* out_n) {
+    const int64_t n = T - klen + 1;
+    if (n <= 0) { out_n[0] = 0; return; }
+    unsigned nt = n_threads();
+    if ((int64_t)nt > n) nt = (unsigned)n;
+    if (nt == 0) nt = 1;
+    std::vector<int64_t> lo(nt + 1);
+    for (unsigned t = 0; t <= nt; t++) lo[t] = n * t / nt;
+    std::vector<int64_t> cnt(nt, 0);
+    const uint32_t prime = 0x01000193u;
+    const uint32_t ncu = (uint32_t)nc;
+
+    auto valid_from = [&](int64_t i, int64_t& seq_start) -> bool {
+        if (seq_of[i] != seq_of[i + klen - 1]) return false;
+        for (int64_t j = 0; j < klen; j++) {
+            const uint8_t c = tokens[i + j];
+            if (c == 'x' || c == 'X') return false;
+        }
+        if (step > 1) {
+            if (seq_start < 0 || seq_of[seq_start] != seq_of[i]) {
+                seq_start = i;
+                while (seq_start > 0
+                       && seq_of[seq_start - 1] == seq_of[i])
+                    seq_start--;
+            }
+            if ((i - seq_start) % step != 0) return false;
+        }
+        return true;
+    };
+
+    auto sweep = [&](unsigned t, bool emit, int64_t base) {
+        int64_t c = 0;
+        int64_t seq_start = -1;
+        for (int64_t i = lo[t]; i < lo[t + 1]; i++) {
+            if (!valid_from(i, seq_start)) continue;
+            if (emit) {
+                uint32_t h = 0x811c9dc5u;
+                for (int64_t j = 0; j < n_ones; j++) {
+                    h ^= (uint32_t)code_tbl[tokens[i + ones[j]]];
+                    h *= prime;
+                }
+                h ^= (uint32_t)pat_idx;
+                h *= prime;
+                o_bucket[base + c] = (int64_t)(h % ncu);
+                o_pos[base + c] = i;
+            }
+            c++;
+        }
+        cnt[t] = c;
+    };
+    {
+        std::vector<std::thread> threads;
+        for (unsigned t = 0; t < nt; t++)
+            threads.emplace_back(sweep, t, false, (int64_t)0);
+        for (auto& th : threads) th.join();
+    }
+    std::vector<int64_t> off(nt + 1, 0);
+    for (unsigned t = 0; t < nt; t++) off[t + 1] = off[t] + cnt[t];
+    {
+        std::vector<std::thread> threads;
+        for (unsigned t = 0; t < nt; t++)
+            threads.emplace_back(sweep, t, true, off[t]);
+        for (auto& th : threads) th.join();
+    }
+    out_n[0] = off[nt];
+}
+
 }  // extern "C"

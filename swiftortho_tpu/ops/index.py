@@ -52,9 +52,14 @@ class SeedIndex:
 
     def __post_init__(self):
         if self.sid is None:
-            self.sid, self.sst = self.decode_locus(self.locus)
-            self.sid = self.sid.astype(np.int32)
-            self.sst = self.sst.astype(np.int32)
+            try:        # threaded native bisect (identical; GIL-free)
+                from ..native import decode_locus_native
+                idx, self.sst = decode_locus_native(self.soas, self.locus)
+                self.sid = (idx + np.int32(self.seq_offset)).astype(np.int32)
+            except Exception:
+                self.sid, self.sst = self.decode_locus(self.locus)
+                self.sid = self.sid.astype(np.int32)
+                self.sst = self.sst.astype(np.int32)
 
     def posting_range(self, buckets: np.ndarray):
         return self.start[buckets], self.start[buckets + 1]
@@ -113,16 +118,34 @@ def build_index(db: SeqDB, start: int, end: int, alphabets: List[str],
     b = np.concatenate(bs) if bs else np.zeros(0, np.int64)
     p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
 
-    counts = np.bincount(b, minlength=nc)
+    # the native counting sort walks all nc buckets three times, so it
+    # only pays off when the posting stream is dense relative to the
+    # bucket table (big corpora); sparse cases (tiny corpus, default
+    # -M 120M) stay on numpy, whose O(nc) part is a single bincount
+    dense = len(b) * 16 >= nc
+    done = False
+    if dense:
+        try:
+            # threaded native counting sort (groupby.cpp
+            # index_csr_scatter): identical to bincount + cumsum +
+            # stable argsort-take below
+            from ..native import index_csr_scatter_native
+            csr, locus = index_csr_scatter_native(b, p, nc)
+            counts = np.diff(csr)
+            done = True
+        except Exception:
+            pass            # no compiler: single-core numpy
+    if not done:
+        counts = np.bincount(b, minlength=nc)
+        csr = np.zeros(nc + 1, dtype=np.int64)
+        np.cumsum(counts, out=csr[1:])
+        order = np.argsort(b, kind='stable')
+        locus = p[order]    # p is already the chunk-global residue offset
+
     mu, sd = ref_mu_sd(counts)
     threshold = int(mu + 2 * sd)
     if threshold_override >= 1:
         threshold = threshold_override
-
-    csr = np.zeros(nc + 1, dtype=np.int64)
-    np.cumsum(counts, out=csr[1:])
-    order = np.argsort(b, kind='stable')
-    locus = p[order]            # p is already the chunk-global residue offset
 
     return SeedIndex(nc=nc, start=csr, locus=locus, soas=soas,
                      seq_offset=start, threshold=threshold,

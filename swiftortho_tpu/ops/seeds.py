@@ -68,8 +68,7 @@ def hash_seeds_flat(tokens: np.ndarray, seq_of: np.ndarray,
     (sequence-local window, bucket) like the reference's visit dict.
     """
     T = len(tokens)
-    is_x = (tokens == _XL) | (tokens == _XU)
-    codes = code_tbl[tokens]
+    codes = None        # numpy-fallback precomputes, built lazily
 
     all_b: List[np.ndarray] = []
     all_p: List[np.ndarray] = []
@@ -86,6 +85,21 @@ def hash_seeds_flat(tokens: np.ndarray, seq_of: np.ndarray,
         n = T - klen + 1
         if n <= 0:
             continue
+        try:
+            # threaded native sweep (groupby.cpp hash_seeds_pattern):
+            # identical (bucket, pos) stream to the numpy block below
+            from ..native import hash_seeds_pattern_native
+            bb, pp = hash_seeds_pattern_native(tokens, seq_of, code_tbl,
+                                               ones, klen, s, nc, step)
+            if len(bb):
+                all_b.append(bb)
+                all_p.append(pp)
+            continue
+        except Exception:
+            pass        # no compiler: vectorized numpy
+        if codes is None:
+            is_x = (tokens == _XL) | (tokens == _XU)
+            codes = code_tbl[tokens]
         # validity masks from contiguous slices (no index gathers):
         # window inside one sequence, no masked residue at any of the
         # klen positions (the reference's char loop), window stride

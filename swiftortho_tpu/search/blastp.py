@@ -665,13 +665,70 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             return rows, True
 
         # --- per-query policy + output (qrow is sorted) ---
-        q_lo = np.searchsorted(qrow, np.arange(wend - wst))
-        q_hi = np.searchsorted(qrow, np.arange(wend - wst), side='right')
+        # Vectorized fast path: for queries without long pairs, the
+        # sequential accept/stop loop reduces to segment ops — miss-run
+        # length is rank minus the last passing rank (segmented cummax),
+        # the stop position is the first rank where the miss-run or the
+        # hit count crosses its bound, and the emitted rows are exactly
+        # the passing ranks up to the stop.  A query is resolved by the
+        # fast path only when its stop falls inside the aligned prefix;
+        # everything else (long pairs, unresolved stops) runs the exact
+        # Python loop below, so output is unchanged — only the per-
+        # candidate Python iteration is skipped for the common case.
+        nq_w = wend - wst
+        q_lo = np.searchsorted(qrow, np.arange(nq_w))
+        q_hi = np.searchsorted(qrow, np.arange(nq_w), side='right')
+        seg_len = q_hi - q_lo
+        present = seg_len > 0
+        has_long = np.zeros(nq_w, dtype=bool)
+        if is_long.any():
+            has_long[qrow[is_long]] = True
+
+        e_all = (D * lq_all * ls_all
+                 * np.power(2.0, -full['bit'].astype(np.float64)))
+        pass_all = (e_all <= cfg.expect) & aligned
+        csum = np.cumsum(pass_all)
+        base = np.zeros(nq_w, dtype=np.int64)
+        if present.any():
+            base[present] = (csum[q_lo[present]]
+                             - pass_all[q_lo[present]])
+        hits_cum = csum - base[qrow] if n_pairs else csum
+        BIGR = np.int64(1) << 40
+        val = np.where(pass_all, rank, -1)
+        gv = qrow * (BIGR * 2) + val
+        last_hit = np.maximum.accumulate(gv) - qrow * (BIGR * 2)
+        miss_run = rank - last_hit
+        mm = nhits_of * max(cfg.max_miss, 1e-3) + 1.0
+        mm = np.maximum(mm, 100.0 / mm)
+        mm = np.minimum(np.maximum(mm, 10), 120)
+        stop = ((miss_run >= mm[qrow])
+                | (hits_cum >= cfg.v + mm[qrow]))
+        s_idx = np.where(stop, rank, BIGR)
+        first_stop = np.full(nq_w, BIGR, dtype=np.int64)
+        if present.any():
+            first_stop[present] = np.minimum.reduceat(s_idx, q_lo[present])
+        prefix = np.minimum(seg_len, STAGES[0])
+        fast = present & ~has_long & (
+            (first_stop < prefix)
+            | ((first_stop == BIGR) & (seg_len <= prefix)))
+
         rows_of = {}
+        emit = pass_all & fast[qrow] & (rank <= first_stop[qrow])
+        for p in np.flatnonzero(emit):
+            r = int(qrow[p])
+            rows_of.setdefault(r, []).append((
+                float(full['idy'][p]), int(full['aln'][p]),
+                int(full['mis'][p]), int(full['gap'][p]),
+                int(full['qst'][p]) + 1, int(full['qed'][p]),
+                int(full['sst'][p]) + 1, int(full['sed'][p]),
+                float(e_all[p]), int(full['bit'][p]), int(subj[p]),
+                int(ls_all[p])))
+        for r in np.flatnonzero(fast):
+            rows_of.setdefault(int(r), [])
+
         need_more = []
-        for r in range(wend - wst):
-            if q_lo[r] == q_hi[r]:
-                continue
+        for r in np.flatnonzero(present & ~fast):
+            r = int(r)
             rows, ok = policy_rows(np.arange(q_lo[r], q_hi[r]), r)
             if ok:
                 rows_of[r] = rows

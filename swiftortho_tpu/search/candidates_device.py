@@ -405,43 +405,87 @@ def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
             jnp.asarray(q_tokens), jnp.asarray(q_lengths.astype(np.int32)),
             tbls, start_i32, jnp.uint32(index.nc),
             jnp.asarray(index.threshold, jnp.int64), streams)
-        total_i = int(total)
+        row_tot = np.asarray(jnp.sum(counts, axis=(0, 2))).astype(np.int64)
+        total_i = int(row_tot.sum())
         if total_i == 0:
             z = np.zeros(0, dtype=np.int64)
             return Candidates(z, z, z, z, z)
 
         # posting-capacity guard: stage 2 materializes several
-        # capacity-sized i64 arrays (packed sort keys + workspace);
-        # production-scale waves can exceed device memory and CRASH the
-        # TPU worker (observed on a 41k-seq corpus: C ~ 2^26).  Beyond
-        # the cap, fall back to the bit-identical host engine.
+        # capacity-sized i64 arrays (packed sort keys + workspace), so
+        # one stage-2 call is bounded by the cap (production-scale waves
+        # once exceeded device memory and CRASHED the TPU worker: a
+        # 41k-seq corpus wanted C ~ 2^26).  Waves over the cap run
+        # stage 2 CHUNKED over contiguous query-row blocks — chain
+        # groups are per-query, so block boundaries at query rows keep
+        # every group intact and the concatenated result identical.
+        # Only a single query whose own postings exceed the cap cannot
+        # be split; that falls back to the bit-identical host engine.
         import os as _os
 
         from ..utils import log_event
         cap = int(_os.environ.get('SWIFTORTHO_DEVICE_CAND_CAP',
                                   str(1 << 23)))
-        if total_i > cap:
-            log_event('device_candidates_fallback', postings=total_i,
-                      cap=cap)
+        if int(row_tot.max()) > cap:
+            log_event('device_candidates_fallback',
+                      max_query_postings=int(row_tot.max()), cap=cap)
             from .candidates import generate_candidates
             return generate_candidates(q_tokens, q_lengths, db, index,
                                        alphabets, ssps)
 
-        C = 1
-        while C < total_i:
-            C *= 2
-        C = max(C, GB)
-        db_tokens, db_offsets = _device_db(db)
-        g_qrow, g_sid, g_diag, score, grp_valid, n_groups = \
-            _stage2_expand_chain(
-                buckets, kept, counts, jnp.asarray(q_tokens),
-                jnp.asarray(q_lengths.astype(np.int32)),
-                start_i32, sid_i32, sst_i32, db_tokens, db_offsets, total,
-                C=C, L=L, W=L + 1)
+        # greedy row blocks: rows until the cap (or RB rows) is reached;
+        # RB is the static padded row count so XLA compiles one stage-2
+        # program per (capacity, RB) pair
+        RB = min(B, 512)
+        blocks = []                 # (row_lo, row_hi)
+        lo = 0
+        while lo < B:
+            hi, acc = lo, 0
+            while hi < B and hi - lo < RB and acc + row_tot[hi] <= cap:
+                acc += int(row_tot[hi])
+                hi += 1
+            if hi == lo:            # single row over cap: handled above
+                hi = lo + 1
+            blocks.append((lo, hi))
+            lo = hi
+        if len(blocks) > 1:
+            log_event('device_candidates_chunked', blocks=len(blocks),
+                      postings=total_i, cap=cap)
 
-        ng = int(n_groups)
-        g_qrow = np.asarray(g_qrow[:ng]).astype(np.int64)
-        g_sid = np.asarray(g_sid[:ng]).astype(np.int64)
-        g_diag = np.asarray(g_diag[:ng]).astype(np.int64)
-        score = np.asarray(score[:ng]).astype(np.int64)
+        db_tokens, db_offsets = _device_db(db)
+        q_dev = jnp.asarray(q_tokens)
+        qlen_dev = jnp.asarray(q_lengths.astype(np.int32))
+        parts = []
+        for (blo, bhi) in blocks:
+            btot = int(row_tot[blo:bhi].sum())
+            if btot == 0:
+                continue
+            C = 1
+            while C < btot:
+                C *= 2
+            C = max(C, GB)
+            pad_r = RB - (bhi - blo)
+
+            def rows(a):
+                a = a[:, blo:bhi] if a.ndim == 3 else a[blo:bhi]
+                if pad_r:
+                    width = [(0, 0), (0, pad_r), (0, 0)] if a.ndim == 3 \
+                        else [(0, pad_r)] + [(0, 0)] * (a.ndim - 1)
+                    a = jnp.pad(a, width)
+                return a
+
+            g_qrow, g_sid, g_diag, score, grp_valid, n_groups = \
+                _stage2_expand_chain(
+                    rows(buckets), rows(kept), rows(counts),
+                    rows(q_dev), rows(qlen_dev),
+                    start_i32, sid_i32, sst_i32, db_tokens, db_offsets,
+                    jnp.asarray(btot, jnp.int64), C=C, L=L, W=L + 1)
+            ng = int(n_groups)
+            parts.append((
+                np.asarray(g_qrow[:ng]).astype(np.int64) + blo,
+                np.asarray(g_sid[:ng]).astype(np.int64),
+                np.asarray(g_diag[:ng]).astype(np.int64),
+                np.asarray(score[:ng]).astype(np.int64)))
+        g_qrow, g_sid, g_diag, score = (
+            np.concatenate([p[i] for p in parts]) for i in range(4))
     return _finish_candidates(g_qrow, g_sid, g_diag, score)

@@ -114,3 +114,46 @@ class TestDeviceCandidatesEndToEnd:
         monkeypatch.setenv('SWIFTORTHO_CANDIDATES', 'device')
         dev = list(blastp_stream(db, db, cfg))
         assert base and dev == base
+
+
+class TestChunkedStage2:
+    def test_chunked_blocks_identical(self, corpus_db, monkeypatch):
+        """A cap that forces several stage-2 row blocks must still give
+        results identical to the host engine (and to the unchunked
+        device run): chain groups are per-query, so query-row blocking
+        never splits a group."""
+        db = corpus_db
+        ix = build_index(db, 0, 40, [AA9], '11111111', 1 << 18)
+        toks, lens = _mask_queries(db, np.arange(24, dtype=np.int64),
+                                   256, True)
+        host = generate_candidates(toks, lens, db, ix, [AA9], '11111111')
+        full = generate_candidates_device(toks, lens, db, ix,
+                                          [AA9], '11111111')
+        # cap = the largest single query's postings: the greedy
+        # partition must produce several blocks, and no query overflows
+        # (which would short-circuit to the host engine)
+        from swiftortho_tpu.constants import reduced_alphabet_table
+        from swiftortho_tpu.ops.seeds import hash_seeds_batch
+        from swiftortho_tpu.search.candidates import _self_score_budget
+        tbl = reduced_alphabet_table(AA9)
+        r, b, p = hash_seeds_batch(toks, lens, tbl, '11111111', ix.nc)
+        cnt = ix.bucket_counts(b)
+        keep = _self_score_budget(toks, lens, r, p, cnt, ix.mink,
+                                  ix.threshold)
+        row_tot = np.bincount(r[keep], cnt[keep], minlength=24)
+        assert row_tot.sum() > row_tot.max() > 0
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_CAND_CAP',
+                           str(int(row_tot.max())))
+        events = []
+        import swiftortho_tpu.search.candidates_device as cd
+        import swiftortho_tpu.utils as U
+        orig = U.log_event
+        monkeypatch.setattr(U, 'log_event',
+                            lambda stage, **kw: events.append(stage))
+        chunked = generate_candidates_device(toks, lens, db, ix,
+                                             [AA9], '11111111')
+        assert 'device_candidates_chunked' in events
+        assert 'device_candidates_fallback' not in events
+        assert len(host.subject) > 0
+        _assert_same(full, host)
+        _assert_same(chunked, host)

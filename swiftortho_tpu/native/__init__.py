@@ -28,7 +28,7 @@ _lock = threading.Lock()
 _lib = None
 
 
-_SOURCES = ('banded_sw.cpp', 'chain.cpp', 'groupby.cpp')
+_SOURCES = ('banded_sw.cpp', 'chain.cpp', 'groupby.cpp', 'seg.cpp')
 _FLAG_SETS = (['-O3', '-march=native'], ['-O3'])
 
 
@@ -122,6 +122,11 @@ def load() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             i64p, i64p, i64p]
         lib.hash_seeds_pattern.restype = None
+        lib.seg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            i64p, ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.seg_batch.restype = None
         _lib = lib
         return _lib
 
@@ -294,6 +299,23 @@ def candidates_fused_native(rows: np.ndarray, qst: np.ndarray,
         o_dr.ctypes.data_as(i64p), out_n.ctypes.data_as(i64p))
     n = int(out_n[0])
     return o_qrow[:n], o_sid[:n], o_score[:n], o_df[:n], o_dr[:n]
+
+
+def seg_batch_native(tokens: np.ndarray, lengths: np.ndarray,
+                     window: int, minent: float) -> np.ndarray:
+    """SEG masking of a padded (B, L) batch — bit-for-bit the sequential
+    oracle ops/seg.seg_string (native/seg.cpp), threaded over rows."""
+    lib = load()
+    tokens = np.ascontiguousarray(tokens, np.uint8)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    B, L = tokens.shape
+    out = np.empty((B, L), np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.seg_batch(
+        tokens.ctypes.data_as(u8p), B, L, lengths.ctypes.data_as(i64p),
+        int(window), float(minent), out.ctypes.data_as(u8p))
+    return out
 
 
 def hash_seeds_pattern_native(tokens: np.ndarray, seq_of: np.ndarray,

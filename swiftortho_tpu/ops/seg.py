@@ -195,13 +195,22 @@ def seg_batch_np(tokens: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
 
 def seg_batch_vec(tokens: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """Vectorized numpy implementation of seg_batch (same outputs).
+    """Batched seg masking (same outputs as seg_batch).
 
-    The host search driver uses this: the JAX version's per-residue
-    expansion scan is pathologically slow through the axon dispatch path,
-    while here only the 12-residue countdown runs as a python loop over L
-    with (B,)-vector steps.
+    Prefers the native threaded port of the sequential oracle
+    (native/seg.cpp) — bit-for-bit seg_string semantics, i.e. the
+    incremental +- entropy accumulation, so the f32/f64-recompute
+    deviation documented above does not apply on that path.  Falls back
+    to the vectorized numpy implementation below (the JAX version's
+    per-residue expansion scan is pathologically slow through the axon
+    dispatch path; here only the 12-residue countdown runs as a python
+    loop over L with (B,)-vector steps).
     """
+    try:
+        from ..native import seg_batch_native
+        return seg_batch_native(tokens, lengths, SEG_WINDOW, SEG_MIN_ENT)
+    except Exception:
+        pass        # no compiler: vectorized numpy below
     B, L = tokens.shape
     w = SEG_WINDOW
     tok_u = np.where((tokens >= 97) & (tokens <= 122),

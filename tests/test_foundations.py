@@ -186,3 +186,40 @@ class TestSegVec:
         got = seg_batch_vec(toks, lens)
         for r in range(B):
             assert bytes(got[r, :lens[r]]) == bytes(want[r, :lens[r]])
+
+
+class TestSegNative:
+    def test_native_matches_oracle_and_numpy(self, rng, monkeypatch):
+        """native/seg.cpp must be bit-for-bit the sequential oracle
+        (incremental entropy accumulation), and the numpy fallback must
+        agree on everything the fuzz set covers."""
+        from swiftortho_tpu.ops.seg import seg_batch_vec
+        import swiftortho_tpu.native as native
+        B, L = 64, 128
+        toks = np.zeros((B, L), dtype=np.uint8)
+        lens = np.zeros(B, dtype=np.int64)
+        for r in range(B):
+            n = int(rng.integers(1, L))
+            kind = r % 4
+            if kind == 0:          # low complexity
+                s = ''.join(rng.choice(list('APG'), n))
+            elif kind == 1:        # runs
+                s = ''.join(rng.choice(list(AA)) * int(rng.integers(1, 20))
+                            for _ in range(8))[:n].ljust(n, 'K')
+            elif kind == 2:        # lowercase mix
+                s = ''.join(c.lower() if rng.random() < .4 else c
+                            for c in (AA[i]
+                                      for i in rng.integers(0, 20, n)))
+            else:
+                s = ''.join(AA[i] for i in rng.integers(0, 20, n))
+            toks[r, :n] = np.frombuffer(s.encode(), dtype=np.uint8)
+            lens[r] = n
+        want = seg_batch_np(toks, lens)
+        got_native = seg_batch_vec(toks, lens)       # routes to native
+        assert (got_native == want).all()
+
+        def boom(*a, **k):
+            raise RuntimeError('off')
+        monkeypatch.setattr(native, 'seg_batch_native', boom)
+        got_np = seg_batch_vec(toks, lens)
+        assert (got_np == want).all()

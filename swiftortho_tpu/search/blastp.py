@@ -186,24 +186,34 @@ class IndexSource:
     ``max_resident`` is instrumented so tests can assert bounded memory.
     """
 
-    def __init__(self, n_chunks: int, get, track: bool = True):
+    def __init__(self, n_chunks: int, get, track: bool = True,
+                 cheap_reget: bool = False):
         self.n_chunks = n_chunks
         self._get = get
         self._track = track
+        # re-materializing a chunk is cheap for disk loads / resident
+        # lists; a from_build source pays a full rebuild, so the block
+        # scheduler disk-caches it instead of re-getting
+        self.cheap_reget = cheap_reget
         self.resident = 0 if track else n_chunks
         self.max_resident = self.resident
 
     def __len__(self):
         return self.n_chunks
 
-    def __iter__(self):
+    def get(self, ci: int):
+        """Materialize chunk ci (residency-tracked like iteration)."""
         import weakref
+        ix = self._get(ci)
+        if self._track:
+            self.resident += 1
+            self.max_resident = max(self.max_resident, self.resident)
+            weakref.finalize(ix, self._dec)
+        return ix
+
+    def __iter__(self):
         for ci in range(self.n_chunks):
-            ix = self._get(ci)
-            if self._track:
-                self.resident += 1
-                self.max_resident = max(self.max_resident, self.resident)
-                weakref.finalize(ix, self._dec)
+            ix = self.get(ci)
             yield ix
             del ix
 
@@ -214,7 +224,8 @@ class IndexSource:
     def from_list(cls, indexes: list) -> 'IndexSource':
         # all chunks already resident in the caller's list: nothing to
         # stream, instrumentation reports the honest worst case
-        return cls(len(indexes), lambda ci: indexes[ci], track=False)
+        return cls(len(indexes), lambda ci: indexes[ci], track=False,
+                   cheap_reget=True)
 
     @classmethod
     def from_build(cls, ref: SeqDB, cfg: SearchConfig,
@@ -246,7 +257,8 @@ class IndexSource:
             raise FileNotFoundError(
                 'no index files match %s.*.npz — check the -D prefix '
                 '(indexes are written by -p makedb)' % prefix)
-        return cls(len(paths), lambda ci: load_index(paths[ci]))
+        return cls(len(paths), lambda ci: load_index(paths[ci]),
+                   cheap_reget=True)
 
 
 def make_db(ref: SeqDB, cfg: SearchConfig, out_prefix: str = '',
@@ -435,43 +447,94 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             # (SWIFTORTHO_PRODUCERS=1 restores the serial sweep)
             nprod = max(1, int(_os.environ.get('SWIFTORTHO_PRODUCERS',
                                                '2')))
-            ci = -1
-            # no enumerate(): its reused result tuple would pin the
-            # previous chunk index alive while the next one builds,
-            # breaking the max-one-resident-index guarantee
-            for index in source:
-                ci += 1
-                last = ci == n_chunks - 1
-                if nprod > 1 and len(waves) > 1:
-                    from concurrent.futures import ThreadPoolExecutor
+            # Block scheduling (multi-chunk only): a wave is consumable
+            # only once EVERY chunk has contributed, so a plain
+            # chunk-major sweep starves phase B until the last chunk.
+            # Waves are processed in blocks of K: per block, every chunk
+            # is materialized (one at a time) and swept over the block's
+            # waves, then the block's waves are signaled — phase B
+            # starts after block 0 instead of after chunk n-1.  Chunk
+            # indexes are disk-cached after the first block when
+            # re-materializing them is expensive (from_build sources).
+            K = max(1, int(_os.environ.get('SWIFTORTHO_WAVE_BLOCK', '8')))
+            if n_chunks <= 1 or len(waves) <= K:
+                wave_blocks = [range(len(waves))]
+            else:
+                wave_blocks = [range(b, min(b + K, len(waves)))
+                               for b in range(0, len(waves), K)]
 
-                    def work(wi, _ix=index):
-                        toks, lens = wave_tokens(wi)
-                        return wi, _gen_cands(toks, lens, ref, _ix,
-                                              alphabets, cfg.seeds)
+            cache_dir = None
+            cache_paths: dict = {}
 
-                    with ThreadPoolExecutor(nprod) as ex:
-                        for wi, cand in ex.map(work, range(len(waves))):
-                            spill.append(wi, cand)
+            def chunk_for(bi, ci):
+                nonlocal cache_dir
+                if bi == 0 or source.cheap_reget:
+                    ix = source.get(ci)
+                    if (bi == 0 and len(wave_blocks) > 1
+                            and not source.cheap_reget):
+                        # uncompressed npz: load >> rebuild
+                        import tempfile
+                        if cache_dir is None:
+                            cache_dir = (spill_dir if spill_dir is not None
+                                         else tempfile.mkdtemp(
+                                             prefix='swortho_idx_'))
+                        path = _os.path.join(cache_dir,
+                                             'idxcache.%05d.npz' % ci)
+                        np.savez(path, start=ix.start, locus=ix.locus,
+                                 soas=ix.soas,
+                                 params=np.array(
+                                     [ix.nc, ix.seq_offset, ix.threshold,
+                                      ix.mink], dtype=np.int64))
+                        cache_paths[ci] = path
+                    return ix
+                from ..ops.index import load_index
+                return load_index(cache_paths[ci])
+
+            for bi, block in enumerate(wave_blocks):
+                for ci in range(n_chunks):
+                    index = chunk_for(bi, ci)
+                    last = ci == n_chunks - 1
+                    if nprod > 1 and len(block) > 1:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        def work(wi, _ix=index):
+                            toks, lens = wave_tokens(wi)
+                            return wi, _gen_cands(toks, lens, ref, _ix,
+                                                  alphabets, cfg.seeds)
+
+                        with ThreadPoolExecutor(nprod) as ex:
+                            for wi, cand in ex.map(work, block):
+                                spill.append(wi, cand)
+                                if last:
+                                    _signal(wi)
+                        # drop the closure (its _ix default pins the
+                        # chunk index) before the next chunk builds,
+                        # preserving max-one-resident
+                        work = None
+                    else:
+                        for wi in block:
+                            toks, lens = wave_tokens(wi)
+                            spill.append(wi, _gen_cands(toks, lens, ref,
+                                                        index, alphabets,
+                                                        cfg.seeds))
                             if last:
                                 _signal(wi)
-                    # drop the closure (its _ix default pins the chunk
-                    # index) before the next chunk builds, preserving
-                    # the max-one-resident-index guarantee
-                    work = None
-                else:
-                    for wi in range(len(waves)):
-                        toks, lens = wave_tokens(wi)
-                        spill.append(wi, _gen_cands(toks, lens, ref,
-                                                    index, alphabets,
-                                                    cfg.seeds))
-                        if last:
-                            _signal(wi)
-                del index
+                    del index
             if n_chunks == 0:
                 for wi in range(len(waves)):
                     _signal(wi)
+            for path in cache_paths.values():
+                try:
+                    _os.remove(path)
+                except OSError:
+                    pass
+            if cache_dir is not None and spill_dir is None:
+                try:
+                    _os.rmdir(cache_dir)
+                except OSError:
+                    pass
             log_event('search_phaseA', chunks=n_chunks, waves=len(waves),
+                      blocks=len(wave_blocks),
                       max_resident_indexes=source.max_resident,
                       overlap=overlap,
                       cand_s=round(_time.time() - _tA0, 2))
@@ -559,6 +622,18 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         # and the extra dispatch rounds cost more than the saved cells.
         _stages_env = _os.environ.get('SWIFTORTHO_ALIGN_STAGES', '160')
         STAGES = tuple(int(s) for s in _stages_env.split(',') if s)
+        # the per-query miss bound (the reference's mmiss clamp,
+        # fsearch.py:3052-3054) — needed here because the first rung
+        # must cover the typical stop rank (~true hits + mmiss): on
+        # dense corpora (many taxa) mmiss clamps to 120 and stops land
+        # past a fixed 160, which would send almost every query to the
+        # full-tail rung.  Schedule-only: output never depends on rungs.
+        mm = nhits_of * max(cfg.max_miss, 1e-3) + 1.0
+        mm = np.maximum(mm, 100.0 / mm)
+        mm = np.minimum(np.maximum(mm, 10), 120)
+        rung0 = int(max(STAGES[0],
+                        (mm.max() if len(mm) else 0) + STAGES[0] / 2))
+        ladder = [s for s in STAGES[1:] if s > rung0] + [None]
         aligned = np.zeros(n_pairs, dtype=bool)
         full = {k: np.zeros(n_pairs, dtype=np.int64)
                 for k in ('aln', 'mis', 'gap', 'qst', 'qed', 'sst', 'sed',
@@ -602,7 +677,7 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             aligned[sel_idx] = True
 
         _t_prep = _time.time()
-        align_subset(rank < STAGES[0])
+        align_subset(rank < rung0)
         _t_align1 = _time.time()
 
         # tiled long pairs: ALL tiles of the wave in one kernel batch
@@ -698,16 +773,13 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         gv = qrow * (BIGR * 2) + val
         last_hit = np.maximum.accumulate(gv) - qrow * (BIGR * 2)
         miss_run = rank - last_hit
-        mm = nhits_of * max(cfg.max_miss, 1e-3) + 1.0
-        mm = np.maximum(mm, 100.0 / mm)
-        mm = np.minimum(np.maximum(mm, 10), 120)
         stop = ((miss_run >= mm[qrow])
                 | (hits_cum >= cfg.v + mm[qrow]))
         s_idx = np.where(stop, rank, BIGR)
         first_stop = np.full(nq_w, BIGR, dtype=np.int64)
         if present.any():
             first_stop[present] = np.minimum.reduceat(s_idx, q_lo[present])
-        prefix = np.minimum(seg_len, STAGES[0])
+        prefix = np.minimum(seg_len, rung0)
         fast = present & ~has_long & (
             (first_stop < prefix)
             | ((first_stop == BIGR) & (seg_len <= prefix)))
@@ -734,7 +806,7 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                 rows_of[r] = rows
             else:
                 need_more.append(r)
-        for stage in list(STAGES[1:]) + [None]:
+        for stage in ladder:
             if not need_more:
                 break
             tail_mask = np.zeros(n_pairs, dtype=bool)

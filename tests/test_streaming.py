@@ -184,3 +184,26 @@ print('RESULT %d %d %d %d' % (rows, base, peak, total_bytes))
         # kernel reclaims the resident subprocess's pages and ru_maxrss
         # under-reports its growth, making that comparison flaky.
         assert delta_s < total_bytes / 2, (delta_s, total_bytes)
+
+
+class TestBlockScheduledPhaseA:
+    def test_blocks_identical_and_bounded(self, corpus, tmp_path,
+                                          monkeypatch):
+        """Block-scheduled phase A (waves in blocks of K, every chunk
+        swept per block, indexes disk-cached after block 0) must give
+        byte-identical output with one chunk index resident and no
+        leftover cache files."""
+        cfg = SearchConfig(**CFG)
+        resident = list(blastp_stream(corpus, corpus, cfg,
+                                      indexes=make_db(corpus, cfg)))
+        monkeypatch.setenv('SWIFTORTHO_WAVE_BLOCK', '1')
+        src = IndexSource.from_build(corpus, cfg)
+        blocked = list(blastp_stream(corpus, corpus, cfg, indexes=src))
+        assert blocked == resident
+        assert src.max_resident == 1
+        sd = str(tmp_path / 'spill')
+        src2 = IndexSource.from_build(corpus, cfg)
+        spilled = list(blastp_stream(corpus, corpus, cfg, indexes=src2,
+                                     spill_dir=sd))
+        assert spilled == resident
+        assert os.listdir(sd) == [], 'cache/spill files must be cleaned'

@@ -127,6 +127,11 @@ def load() -> ctypes.CDLL:
             i64p, ctypes.c_int64, ctypes.c_double,
             ctypes.POINTER(ctypes.c_uint8)]
         lib.seg_batch.restype = None
+        lib.rank_cut.argtypes = [
+            i64p, i64p, i64p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p]
+        lib.rank_cut.restype = None
         _lib = lib
         return _lib
 
@@ -299,6 +304,30 @@ def candidates_fused_native(rows: np.ndarray, qst: np.ndarray,
         o_dr.ctypes.data_as(i64p), out_n.ctypes.data_as(i64p))
     n = int(out_n[0])
     return o_qrow[:n], o_sid[:n], o_score[:n], o_df[:n], o_dr[:n]
+
+
+def rank_cut_native(qrow: np.ndarray, subj: np.ndarray, csc: np.ndarray,
+                    bq: np.ndarray, bs: np.ndarray, n_queries: int,
+                    vmax: int):
+    """Per-wave candidate ranking: (qrow asc, score desc, subject asc,
+    input order) + vmax cut — identical ordering to the numpy packed-key
+    / lexsort paths in blastp._wave_body.  Returns (qrow, subj, csc, bq,
+    bs, rank, nhits_of) with nhits_of counted before the cut."""
+    lib = load()
+    arrs = [np.ascontiguousarray(a, np.int64)
+            for a in (qrow, subj, csc, bq, bs)]
+    n = len(arrs[0])
+    o = [np.empty(n, np.int64) for _ in range(6)]
+    o_nhits = np.zeros(n_queries, np.int64)
+    out_n = np.zeros(1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.rank_cut(*[a.ctypes.data_as(i64p) for a in arrs],
+                 n, int(n_queries), int(vmax),
+                 *[a.ctypes.data_as(i64p) for a in o],
+                 o_nhits.ctypes.data_as(i64p),
+                 out_n.ctypes.data_as(i64p))
+    m = int(out_n[0])
+    return tuple(a[:m] for a in o) + (o_nhits,)
 
 
 def seg_batch_native(tokens: np.ndarray, lengths: np.ndarray,

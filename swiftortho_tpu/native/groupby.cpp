@@ -448,6 +448,81 @@ void decode_locus(const int64_t* soas, int64_t n_soas,
     for (auto& th : threads) th.join();
 }
 
+// Per-wave candidate ranking (the reference's chain-score sort +
+// vmax cut, fsearch.py:3040-3051): order candidates by (qrow asc,
+// chain score desc, subject asc) with ties in input order — identical
+// to BOTH numpy branches in blastp._wave_body (the packed-key stable
+// argsort and the lexsort express the same ordering) — then emit the
+// first vmax per query with their ranks, plus the pre-cut per-query
+// hit counts (nhits_of feeds the mmiss clamp).
+// Threaded per query-range; outputs are in (qrow, rank) order.
+void rank_cut(const int64_t* qrow, const int64_t* subj,
+              const int64_t* csc, const int64_t* bq, const int64_t* bs,
+              int64_t n, int64_t n_queries, int64_t vmax,
+              int64_t* o_qrow, int64_t* o_subj, int64_t* o_csc,
+              int64_t* o_bq, int64_t* o_bs, int64_t* o_rank,
+              int64_t* o_nhits, int64_t* out_n) {
+    std::vector<int64_t> qcnt(n_queries + 1, 0);
+    for (int64_t i = 0; i < n; i++) qcnt[qrow[i] + 1]++;
+    for (int64_t q = 0; q < n_queries; q++) {
+        o_nhits[q] = qcnt[q + 1];
+        qcnt[q + 1] += qcnt[q];
+    }
+    std::vector<int64_t> order(n);
+    {
+        std::vector<int64_t> cur(qcnt.begin(), qcnt.end() - 1);
+        for (int64_t i = 0; i < n; i++) order[cur[qrow[i]]++] = i;
+    }
+    // output offsets after the vmax cut
+    std::vector<int64_t> ocnt(n_queries + 1, 0);
+    for (int64_t q = 0; q < n_queries; q++) {
+        const int64_t c = qcnt[q + 1] - qcnt[q];
+        ocnt[q + 1] = ocnt[q] + (c < vmax ? c : vmax);
+    }
+    unsigned nt = n_threads();
+    if ((int64_t)nt > n_queries && n_queries > 0) nt = (unsigned)n_queries;
+    if (nt == 0) nt = 1;
+    std::vector<int64_t> bounds(nt + 1, n_queries);
+    bounds[0] = 0;
+    for (unsigned t = 1; t < nt; t++) {
+        int64_t want = n * t / nt;
+        bounds[t] = std::lower_bound(qcnt.begin(),
+                                     qcnt.begin() + n_queries, want)
+            - qcnt.begin();
+        if (bounds[t] < bounds[t - 1]) bounds[t] = bounds[t - 1];
+    }
+    auto work = [&](int64_t qlo, int64_t qhi) {
+        for (int64_t q = qlo; q < qhi; q++) {
+            int64_t* seg = order.data() + qcnt[q];
+            const int64_t c = qcnt[q + 1] - qcnt[q];
+            std::stable_sort(seg, seg + c,
+                             [&](int64_t a, int64_t b) {
+                                 if (csc[a] != csc[b])
+                                     return csc[a] > csc[b];
+                                 return subj[a] < subj[b];
+                             });
+            const int64_t keep = c < vmax ? c : vmax;
+            int64_t w = ocnt[q];
+            for (int64_t r = 0; r < keep; r++, w++) {
+                const int64_t i = seg[r];
+                o_qrow[w] = q;
+                o_subj[w] = subj[i];
+                o_csc[w] = csc[i];
+                o_bq[w] = bq[i];
+                o_bs[w] = bs[i];
+                o_rank[w] = r;
+            }
+        }
+    };
+    {
+        std::vector<std::thread> threads;
+        for (unsigned t = 0; t < nt; t++)
+            threads.emplace_back(work, bounds[t], bounds[t + 1]);
+        for (auto& th : threads) th.join();
+    }
+    out_n[0] = ocnt[n_queries];
+}
+
 // Spaced-seed FNV hashing for ONE pattern (reference spseeds_fnv,
 // fsearch.py:519-556; semantics of ops/seeds.hash_seeds_flat): a window
 // starting at i is valid iff it stays inside one sequence (seq_of[i] ==

@@ -581,30 +581,43 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         bq = np.concatenate([c.band_q for c in cands])
         bs = np.concatenate([c.band_s for c in cands])
 
-        # per query: rank by chain score desc (ties: subject asc), cut vmax
-        # — one packed-key argsort when ranges allow (chain scores are
-        # bounded by ~15x the query length, far under 2^26), else lexsort
-        if (len(qrow) and qrow.max() < (1 << 13) and subj.max() < (1 << 21)
-                and csc.max() < (1 << 26) and csc.min() >= 0):
-            key = ((qrow.astype(np.uint64) << 47)
-                   | ((np.uint64((1 << 26) - 1) - csc.astype(np.uint64))
-                      << 21)
-                   | subj.astype(np.uint64))
-            order = np.argsort(key, kind='stable')
-        else:
-            order = np.lexsort((subj, -csc, qrow))
-        qrow, subj, csc, bq, bs = (qrow[order], subj[order], csc[order],
-                                   bq[order], bs[order])
-        new_q = np.ones(len(qrow), dtype=bool)
-        new_q[1:] = qrow[1:] != qrow[:-1]
-        rank = np.arange(len(qrow)) - np.maximum.accumulate(
-            np.where(new_q, np.arange(len(qrow)), 0))
-        nhits_of = np.zeros(wend - wst, dtype=np.int64)
-        np.add.at(nhits_of, qrow, 1)
-        cut = rank < vmax
-        qrow, subj, csc, bq, bs = (qrow[cut], subj[cut], csc[cut],
-                                   bq[cut], bs[cut])
-        rank = rank[cut]
+        # per query: rank by chain score desc (ties: subject asc, then
+        # input order), cut vmax.  Native engine (groupby.cpp rank_cut,
+        # GIL-free) when available; the numpy paths below express the
+        # same ordering (packed-key stable argsort when ranges allow —
+        # chain scores are bounded by ~15x the query length, far under
+        # 2^26 — else lexsort).
+        ranked = False
+        try:
+            from ..native import rank_cut_native
+            qrow, subj, csc, bq, bs, rank, nhits_of = rank_cut_native(
+                qrow, subj, csc, bq, bs, wend - wst, vmax)
+            ranked = True
+        except Exception:
+            pass        # no compiler: numpy below
+        if not ranked:
+            if (len(qrow) and qrow.max() < (1 << 13)
+                    and subj.max() < (1 << 21)
+                    and csc.max() < (1 << 26) and csc.min() >= 0):
+                key = ((qrow.astype(np.uint64) << 47)
+                       | ((np.uint64((1 << 26) - 1) - csc.astype(np.uint64))
+                          << 21)
+                       | subj.astype(np.uint64))
+                order = np.argsort(key, kind='stable')
+            else:
+                order = np.lexsort((subj, -csc, qrow))
+            qrow, subj, csc, bq, bs = (qrow[order], subj[order], csc[order],
+                                       bq[order], bs[order])
+            new_q = np.ones(len(qrow), dtype=bool)
+            new_q[1:] = qrow[1:] != qrow[:-1]
+            rank = np.arange(len(qrow)) - np.maximum.accumulate(
+                np.where(new_q, np.arange(len(qrow)), 0))
+            nhits_of = np.zeros(wend - wst, dtype=np.int64)
+            np.add.at(nhits_of, qrow, 1)
+            cut = rank < vmax
+            qrow, subj, csc, bq, bs = (qrow[cut], subj[cut], csc[cut],
+                                       bq[cut], bs[cut])
+            rank = rank[cut]
 
         # long-pair split: either side >= 4096 goes to the tiled path
         lq_all = lens[qrow].astype(np.int64)

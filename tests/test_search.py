@@ -261,3 +261,33 @@ class TestFusedCandidates:
         fused, staged, numpy_fb = self._paths(
             toks, lens, db, ix, [AA9], '11111111', monkeypatch)
         assert len(fused.qrow) == len(staged.qrow) == len(numpy_fb.qrow)
+
+
+class TestRankCutNative:
+    def test_matches_numpy_ordering(self, rng):
+        """groupby.cpp rank_cut must reproduce the wave ranking exactly:
+        (qrow asc, chain score desc, subject asc, input order), vmax
+        cut, and pre-cut per-query hit counts."""
+        from swiftortho_tpu.native import rank_cut_native
+        n, nq, vmax = 20000, 128, 13
+        qrow = rng.integers(0, nq, n)
+        subj = rng.integers(0, 500, n)
+        csc = rng.integers(25, 45, n)          # dense ties
+        bq = rng.integers(0, 64, n)
+        bs = rng.integers(0, 64, n)
+        key = ((qrow.astype(np.uint64) << 47)
+               | ((np.uint64((1 << 26) - 1) - csc.astype(np.uint64)) << 21)
+               | subj.astype(np.uint64))
+        order = np.argsort(key, kind='stable')
+        q2, s2, c2, b2, B2 = (a[order] for a in (qrow, subj, csc, bq, bs))
+        new_q = np.ones(n, dtype=bool)
+        new_q[1:] = q2[1:] != q2[:-1]
+        rank = np.arange(n) - np.maximum.accumulate(
+            np.where(new_q, np.arange(n), 0))
+        nh = np.zeros(nq, np.int64)
+        np.add.at(nh, q2, 1)
+        cut = rank < vmax
+        want = (q2[cut], s2[cut], c2[cut], b2[cut], B2[cut], rank[cut], nh)
+        got = rank_cut_native(qrow, subj, csc, bq, bs, nq, vmax)
+        for g, w in zip(got, want):
+            assert (g == w).all()

@@ -28,7 +28,8 @@ _lock = threading.Lock()
 _lib = None
 
 
-_SOURCES = ('banded_sw.cpp', 'chain.cpp', 'groupby.cpp', 'seg.cpp')
+_SOURCES = ('banded_sw.cpp', 'chain.cpp', 'groupby.cpp', 'seg.cpp',
+            'fmtrows.cpp')
 _FLAG_SETS = (['-O3', '-march=native'], ['-O3'])
 
 
@@ -132,6 +133,17 @@ def load() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             i64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p]
         lib.rank_cut.restype = None
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8pp = ctypes.POINTER(ctypes.c_uint8)
+        lib.format_rows.argtypes = [
+            ctypes.c_int64,
+            f64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+            f64p, i64p, i64p, i64p, i64p,
+            i64p, u8pp, i64p,
+            i64p, u8pp, i64p,
+            u8pp, i64p,
+            u8pp, ctypes.c_int64, i64p, i64p]
+        lib.format_rows.restype = None
         _lib = lib
         return _lib
 
@@ -328,6 +340,66 @@ def rank_cut_native(qrow: np.ndarray, subj: np.ndarray, csc: np.ndarray,
                  out_n.ctypes.data_as(i64p))
     m = int(out_n[0])
     return tuple(a[:m] for a in o) + (o_nhits,)
+
+
+def encode_blob(strings) -> tuple:
+    """Concatenate strings into one utf-8 byte blob + exclusive offsets
+    (the string-column transport of format_rows_native)."""
+    bs = [s.encode() for s in strings]
+    off = np.zeros(len(bs) + 1, np.int64)
+    np.cumsum([len(b) for b in bs], out=off[1:])
+    return np.frombuffer(b''.join(bs), np.uint8), off
+
+
+def format_rows_native(fields: dict, qid_i, qid_blob, qid_off,
+                       sid_i, refid_blob, refid_off,
+                       refdesc_blob, refdesc_off):
+    """Format n m8 rows char-for-char like the Python path (see
+    native/fmtrows.cpp).  Returns (buffer bytes, per-row end offsets)."""
+    lib = load()
+    n = len(qid_i)
+    f64 = [np.ascontiguousarray(fields[k], np.float64)
+           for k in ('idy', 'e')]
+    i64 = {k: np.ascontiguousarray(fields[k], np.int64)
+           for k in ('aln', 'mis', 'gap', 'qst1', 'qed', 'sst1', 'sed',
+                     'bit', 'qlen', 'slen', 'qidx')}
+    qid_i = np.ascontiguousarray(qid_i, np.int64)
+    sid_i = np.ascontiguousarray(sid_i, np.int64)
+    qid_blob = np.ascontiguousarray(qid_blob, np.uint8)
+    refid_blob = np.ascontiguousarray(refid_blob, np.uint8)
+    refdesc_blob = np.ascontiguousarray(refdesc_blob, np.uint8)
+    qid_off = np.ascontiguousarray(qid_off, np.int64)
+    refid_off = np.ascontiguousarray(refid_off, np.int64)
+    refdesc_off = np.ascontiguousarray(refdesc_off, np.int64)
+    # capacity: strings + a generous 200 bytes of numeric columns per row
+    cap = int((qid_off[qid_i + 1] - qid_off[qid_i]).sum()
+              + (refid_off[sid_i + 1] - refid_off[sid_i]).sum()
+              + (refdesc_off[sid_i + 1] - refdesc_off[sid_i]).sum()
+              + n * 200 + 64)
+    out = np.empty(cap, np.uint8)
+    o_end = np.empty(max(n, 1), np.int64)
+    out_n = np.zeros(1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.format_rows(
+        n, f64[0].ctypes.data_as(f64p),
+        *[i64[k].ctypes.data_as(i64p)
+          for k in ('aln', 'mis', 'gap', 'qst1', 'qed', 'sst1', 'sed')],
+        f64[1].ctypes.data_as(f64p),
+        *[i64[k].ctypes.data_as(i64p)
+          for k in ('bit', 'qlen', 'slen', 'qidx')],
+        qid_i.ctypes.data_as(i64p), qid_blob.ctypes.data_as(u8p),
+        qid_off.ctypes.data_as(i64p),
+        sid_i.ctypes.data_as(i64p), refid_blob.ctypes.data_as(u8p),
+        refid_off.ctypes.data_as(i64p),
+        refdesc_blob.ctypes.data_as(u8p), refdesc_off.ctypes.data_as(i64p),
+        out.ctypes.data_as(u8p), cap,
+        o_end.ctypes.data_as(i64p), out_n.ctypes.data_as(i64p))
+    total = int(out_n[0])
+    if total < 0:
+        raise RuntimeError('format_rows capacity overflow')
+    return out[:total].tobytes(), o_end[:n]
 
 
 def seg_batch_native(tokens: np.ndarray, lengths: np.ndarray,

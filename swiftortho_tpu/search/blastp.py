@@ -372,6 +372,13 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
     pack_ctx = DevicePackContext(ref)
     pack_ctx.wave_capacity = cfg.query_batch
 
+    # string-column blobs for the native row formatter (encoded once
+    # per search; encode_blob is a pure-numpy helper)
+    from ..native import encode_blob as _encode_blob
+    _rid = _encode_blob(ref.ids)
+    _rdesc = _encode_blob(ref.headers)
+    ref_blobs = (_rid[0], _rid[1], _rdesc[0], _rdesc[1])
+
     if indexes is None:
         source = IndexSource.from_build(ref, cfg)
     elif isinstance(indexes, IndexSource):
@@ -799,17 +806,57 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
 
         rows_of = {}
         emit = pass_all & fast[qrow] & (rank <= first_stop[qrow])
-        for p in np.flatnonzero(emit):
-            r = int(qrow[p])
-            rows_of.setdefault(r, []).append((
-                float(full['idy'][p]), int(full['aln'][p]),
-                int(full['mis'][p]), int(full['gap'][p]),
-                int(full['qst'][p]) + 1, int(full['qed'][p]),
-                int(full['sst'][p]) + 1, int(full['sed'][p]),
-                float(e_all[p]), int(full['bit'][p]), int(subj[p]),
-                int(ls_all[p])))
-        for r in np.flatnonzero(fast):
-            rows_of.setdefault(int(r), [])
+        emit_idx = np.flatnonzero(emit)
+        # fast-path rows go straight from arrays to formatted bytes via
+        # the native formatter (fmtrows.cpp, char-for-char the Python
+        # path): per-query final sort by bit desc (stable = acceptance
+        # order on ties, like list.sort), top-v cut, one threaded call.
+        fast_fmt = None
+        try:
+            from ..native import encode_blob, format_rows_native
+            eb = full['bit'][emit_idx]
+            eq = qrow[emit_idx]
+            if (len(eb) == 0 or (eb.min() >= 0 and eb.max() < (1 << 40)
+                                 and (wend - wst) <= (1 << 22))):
+                key = (eq.astype(np.int64) << 40) | ((1 << 40) - 1 - eb)
+                order = np.argsort(key, kind='stable')
+            else:
+                order = np.lexsort((np.arange(len(eb)), -eb, eq))
+            sel = emit_idx[order]
+            eqs = eq[order]
+            newq = np.ones(len(eqs), dtype=bool)
+            newq[1:] = eqs[1:] != eqs[:-1]
+            pos = np.arange(len(eqs)) - np.maximum.accumulate(
+                np.where(newq, np.arange(len(eqs)), 0))
+            keepv = pos < max(0, cfg.v)
+            sel, eqs = sel[keepv], eqs[keepv]
+            fields = {
+                'idy': full['idy'][sel], 'aln': full['aln'][sel],
+                'mis': full['mis'][sel], 'gap': full['gap'][sel],
+                'qst1': full['qst'][sel] + 1, 'qed': full['qed'][sel],
+                'sst1': full['sst'][sel] + 1, 'sed': full['sed'][sel],
+                'e': e_all[sel], 'bit': full['bit'][sel],
+                'qlen': lens[eqs].astype(np.int64),
+                'slen': ls_all[sel], 'qidx': wst + eqs}
+            qid_blob, qid_off = encode_blob(
+                [qry.ids[wst + r] for r in range(wend - wst)])
+            buf, ends = format_rows_native(
+                fields, eqs, qid_blob, qid_off, subj[sel],
+                ref_blobs[0], ref_blobs[1], ref_blobs[2], ref_blobs[3])
+            fast_fmt = (buf, ends, eqs)
+        except Exception:
+            # no compiler: fast rows fall back to python tuples below
+            for p in emit_idx:
+                r = int(qrow[p])
+                rows_of.setdefault(r, []).append((
+                    float(full['idy'][p]), int(full['aln'][p]),
+                    int(full['mis'][p]), int(full['gap'][p]),
+                    int(full['qst'][p]) + 1, int(full['qed'][p]),
+                    int(full['sst'][p]) + 1, int(full['sed'][p]),
+                    float(e_all[p]), int(full['bit'][p]), int(subj[p]),
+                    int(ls_all[p])))
+            for r in np.flatnonzero(fast):
+                rows_of.setdefault(int(r), [])
 
         need_more = []
         for r in np.flatnonzero(present & ~fast):
@@ -855,7 +902,19 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         for _k in _AP:
             _AP[_k] = 0.0 if isinstance(_AP[_k], float) else 0
         out_rows = []
+        if fast_fmt is not None:
+            buf, ends, eqs = fast_fmt
+            starts_b = np.zeros(len(ends), dtype=np.int64)
+            starts_b[1:] = ends[:-1]
+            f_lo = np.searchsorted(eqs, np.arange(wend - wst))
+            f_hi = np.searchsorted(eqs, np.arange(wend - wst),
+                                   side='right')
         for r in range(wend - wst):
+            if fast_fmt is not None and fast[r]:
+                for i in range(f_lo[r], f_hi[r]):
+                    out_rows.append(
+                        buf[starts_b[i]:ends[i]].decode())
+                continue
             if r not in rows_of:
                 continue
             rows = rows_of[r]

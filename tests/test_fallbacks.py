@@ -97,3 +97,25 @@ def test_native_hash_invalidation(tmp_path, monkeypatch):
     monkeypatch.setattr(n, '_lib', None)
     n.load()
     assert n._valid()
+
+
+def test_format_rows_fallback_identical(monkeypatch):
+    """With the native row formatter unavailable, the Python fallback
+    must emit byte-identical rows."""
+    import jax  # noqa: F401  (conftest already forced cpu)
+    from swiftortho_tpu.config import SearchConfig
+    from swiftortho_tpu.corpus import make_corpus
+    from swiftortho_tpu.io_fasta import SeqDB
+    from swiftortho_tpu.search.blastp import blastp_stream
+
+    corpus = make_corpus(n_taxa=2, n_families=10, seed=3,
+                         min_len=60, max_len=150)
+    db = SeqDB.from_records(corpus.records)
+    cfg = SearchConfig(expect=1e-5, nc=1 << 18, query_batch=32)
+    rows_native = list(blastp_stream(db, db, cfg))
+
+    def boom(*a, **k):
+        raise RuntimeError('off')
+    monkeypatch.setattr(native, 'format_rows_native', boom)
+    rows_py = list(blastp_stream(db, db, cfg))
+    assert rows_native == rows_py and len(rows_native) > 0

@@ -117,5 +117,6 @@ def test_format_rows_fallback_identical(monkeypatch):
     def boom(*a, **k):
         raise RuntimeError('off')
     monkeypatch.setattr(native, 'format_rows_native', boom)
+    monkeypatch.setattr(native, 'rank_cut_native', boom)
     rows_py = list(blastp_stream(db, db, cfg))
     assert rows_native == rows_py and len(rows_native) > 0

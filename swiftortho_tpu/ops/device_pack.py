@@ -37,7 +37,11 @@ ROW_ALIGN = 128
 # width is shared by every row, so one huge protein would multiply the
 # whole table's footprint and roll cost)
 STRIDE_CAP = 4096
-# skip the device table entirely when it would not fit comfortably
+# device-table byte budget (SWIFTORTHO_PACK_CAP overrides): references
+# beyond it get a PARTIAL table — the first cap//stride sequences pack
+# on device, the rest ride the host gather path per pair (the `fits`
+# routing below), so huge references degrade gradually instead of
+# losing the transfer-light path outright
 TABLE_BYTE_CAP = 2 << 30
 
 
@@ -123,9 +127,15 @@ class DevicePackContext:
         stride = -(-min(maxlen, STRIDE_CAP) // ROW_ALIGN) * ROW_ALIGN
         stride = max(stride, ROW_ALIGN)
         self.stride = stride
-        self.fits = lens <= stride
-        self.n_db = n
-        self.ok = n * stride <= TABLE_BYTE_CAP
+        cap = int(os.environ.get('SWIFTORTHO_PACK_CAP',
+                                 str(TABLE_BYTE_CAP)))
+        # partial table beyond the byte budget: rows [0, n_db) pack on
+        # device; later subjects fall back per pair via `fits`
+        self.n_db = min(n, max(cap // stride, 0))
+        self.fits = (lens <= stride) \
+            & (np.arange(n, dtype=np.int64) < self.n_db)
+        self.ok = self.n_db > 0
+        self.n_total = n
         self.wave_capacity = 0       # driver sets to the wave size so
         self._tab_dev = None         # tail waves reuse compiled shapes
         self._db = db
@@ -135,14 +145,15 @@ class DevicePackContext:
         if self._tab_dev is None:
             import jax.numpy as jnp
             db = self._db
-            lens = (db.offsets[1:] - db.offsets[:-1]).astype(np.int64)
+            lens = (db.offsets[1:]
+                    - db.offsets[:-1]).astype(np.int64)[:self.n_db]
             tab = np.zeros((self.n_db, self.stride), np.uint8)
             mask = (np.arange(self.stride, dtype=np.int64)[None, :]
                     < np.minimum(lens, self.stride)[:, None])
             # db.tokens is the row-major concatenation of the sequences,
             # so boolean assignment fills each row's prefix in order —
             # except rows longer than stride, whose tails must be cut
-            if bool(self.fits.all()):
+            if bool((lens <= self.stride).all()):
                 tab[mask] = db.tokens[:int(lens.sum())]
             else:
                 src = np.concatenate(

@@ -100,3 +100,22 @@ class TestForcedPackPath:
         monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', '0')
         ctx = device_pack.DevicePackContext(corpus)
         assert not ctx.active()
+
+
+class TestPartialTable:
+    def test_partial_table_byte_identical(self, corpus, monkeypatch):
+        """A byte budget too small for the whole reference produces a
+        PARTIAL device table: early subjects pack on device, later ones
+        ride the host gather path per pair — rows byte-identical."""
+        cfg = SearchConfig(**CFG)
+        host = list(blastp_stream(corpus, corpus, cfg))
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', 'force')
+        # budget for roughly half the reference rows
+        ctx_probe = device_pack.DevicePackContext(corpus)
+        half = (len(corpus) // 2) * ctx_probe.stride
+        monkeypatch.setenv('SWIFTORTHO_PACK_CAP', str(half))
+        ctx = device_pack.DevicePackContext(corpus)
+        assert 0 < ctx.n_db < len(corpus)
+        assert ctx.fits[:ctx.n_db].any() and not ctx.fits[ctx.n_db:].any()
+        packed = list(blastp_stream(corpus, corpus, cfg))
+        assert packed == host

@@ -109,6 +109,7 @@ def load() -> ctypes.CDLL:
             i32p, i32p, ctypes.c_int64,
             u8p, ctypes.c_int64, u8p, i64p, i64p,
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int64,
             i64p, i64p, i64p, i64p, i64p, i64p]
         lib.candidates_fused.restype = None
         lib.index_csr_scatter.argtypes = [
@@ -299,6 +300,13 @@ def candidates_fused_native(rows: np.ndarray, qst: np.ndarray,
     o_df = np.empty(cap, np.int64)
     o_dr = np.empty(cap, np.int64)
     out_n = np.zeros(1, np.int64)
+    # 56-bit packed radix sort preconditions (see groupby.cpp): subject
+    # ids < 2^21, query pad and the longest subject < 2^17
+    n_db = len(db_offsets) - 1
+    max_slen = int((db_offsets[1:] - db_offsets[:-1]).max()) if n_db \
+        else 0
+    packed_ok = int(n_db < (1 << 21) and q_tokens.shape[1] <= (1 << 17)
+                    and max_slen < (1 << 17))
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -310,7 +318,7 @@ def candidates_fused_native(rows: np.ndarray, qst: np.ndarray,
         db_tokens.ctypes.data_as(u8p),
         db_offsets.ctypes.data_as(i64p), q_len.ctypes.data_as(i64p),
         _SUB.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-        int(xdrop), int(min_score),
+        int(xdrop), int(min_score), packed_ok,
         o_qrow.ctypes.data_as(i64p), o_sid.ctypes.data_as(i64p),
         o_score.ctypes.data_as(i64p), o_df.ctypes.data_as(i64p),
         o_dr.ctypes.data_as(i64p), out_n.ctypes.data_as(i64p))

@@ -207,3 +207,16 @@ class TestBlockScheduledPhaseA:
                                      spill_dir=sd))
         assert spilled == resident
         assert os.listdir(sd) == [], 'cache/spill files must be cleaned'
+
+
+class TestStageLadderInvariance:
+    def test_rung_sizes_never_change_output(self, corpus, monkeypatch):
+        """Alignment rungs are schedule-only: tiny rungs force heavy
+        ladder escalation and unresolved-policy retries, and the rows
+        must still be byte-identical."""
+        cfg = SearchConfig(**CFG)
+        base = list(blastp_stream(corpus, corpus, cfg))
+        for stages in ('4', '2,8', '1'):
+            monkeypatch.setenv('SWIFTORTHO_ALIGN_STAGES', stages)
+            rows = list(blastp_stream(corpus, corpus, cfg))
+            assert rows == base, 'stages=%s changed output' % stages

@@ -150,9 +150,17 @@ def main():
     tpu_v = tpu['cells_per_s'] if tpu else 0.0
     cpu_v = cpu['cells_per_s'] if cpu else 0.0
     vs = (tpu_v / cpu_v) if (tpu_v and cpu_v) else 0.0
-    print(json.dumps({'metric': 'sw_bandcell_updates_per_s',
-                      'value': round(tpu_v, 1), 'unit': 'cells/s',
-                      'vs_baseline': round(vs, 2)}))
+    out = {'metric': 'sw_bandcell_updates_per_s',
+           'value': round(tpu_v, 1), 'unit': 'cells/s',
+           'vs_baseline': round(vs, 2)}
+    if tpu is None:
+        # distinguish "chip unreachable" from "kernel slow/wrong": the
+        # axon relay has shown multi-hour UNAVAILABLE outages; the last
+        # verified on-chip figure lives in BASELINE.md
+        out['note'] = 'tpu backend unavailable/timeout; see BASELINE.md'
+    elif not tpu.get('parity', True):
+        out['note'] = 'on-chip parity gate failed; value zeroed'
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

@@ -249,6 +249,30 @@ class TestFusedCandidates:
             assert (getattr(fused, f) == getattr(staged, f)).all(), f
             assert (getattr(fused, f) == getattr(numpy_fb, f)).all(), f
 
+    def test_multi_alphabet_multi_pattern(self, monkeypatch,
+                                          tmp_path_factory):
+        """aa9/aa20 double alphabet + two spaced-seed patterns: the
+        fused engine must stay identical to the staged-native and numpy
+        paths through the cross-pattern dedup and fold tie-breaks."""
+        corpus = make_corpus(n_taxa=2, n_families=12, seed=19,
+                             min_len=80, max_len=200)
+        from swiftortho_tpu.io_fasta import write_fasta
+        p = tmp_path_factory.mktemp('fusedm') / 'c.fsa'
+        write_fasta(str(p), corpus.records)
+        db = SeqDB.from_path(str(p))
+        alphas = [AA9, AA20]
+        ssps = '1111111,110101011'
+        ix = build_index(db, 0, len(db), alphas, ssps, 1 << 16)
+        toks, lens = db.padded_batch(np.arange(len(db)), 256)
+        from swiftortho_tpu.ops.seg import seg_batch_vec
+        toks = seg_batch_vec(toks, lens)
+        fused, staged, numpy_fb = self._paths(
+            toks, lens, db, ix, alphas, ssps, monkeypatch)
+        assert len(fused.qrow) > 0
+        for f in ('qrow', 'subject', 'score', 'band_q', 'band_s'):
+            assert (getattr(fused, f) == getattr(staged, f)).all(), f
+            assert (getattr(fused, f) == getattr(numpy_fb, f)).all(), f
+
     def test_empty_queries(self, monkeypatch):
         # queries with no seeds (all low-complexity) exercise the
         # zero-candidate path of every engine

@@ -6,8 +6,11 @@ Prints ONE JSON line:
    "vs_baseline": R}
 
 - value: computed band-cell updates/s of the full augmented-statistics
-  banded-SW batch kernel on the real chip (B=512 pairs x L=500, band 32),
-  steady state.
+  banded-SW batch kernel on the real chip, measured through the PRODUCTION
+  dispatch (ops/banded_sw._sw_align_chunked: one device call = lax.map
+  over _CHUNK-pair pallas launches; B=4096 pairs x L=500, band 32),
+  steady state.  The map shape is the measured optimum — see BASELINE.md
+  "kernel dispatch shape".
 - vs_baseline: speedup over the C++ host kernel (g++ -O3 -march=native,
   swiftortho_tpu/native/banded_sw.cpp — the stand-in for the reference's
   RPython->C fsearch kernel, bin/find_hit.py:205) on one CPU core, same
@@ -22,7 +25,7 @@ import os
 import subprocess
 import sys
 
-B, L, BAND = 512, 500, 32
+B, L, BAND = 4096, 500, 32
 CELLS = B * L * BAND
 
 
@@ -32,16 +35,17 @@ def _tpu_worker():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from swiftortho_tpu.ops.banded_sw_pallas import sw_align_batch_pallas
+    from swiftortho_tpu.ops.banded_sw import _CHUNK, _sw_align_chunked
 
     rng = np.random.default_rng(0)
     AA = np.frombuffer(b'ACDEFGHIKLMNPQRSTVWY', np.uint8)
-    t0 = AA[rng.integers(0, 20, (B, L + 12))]
-    t1 = AA[rng.integers(0, 20, (B, L + 12))]
-    l0 = np.full(B, L, np.int32)
-    l1 = np.full(B, L, np.int32)
+    n = B // _CHUNK
+    t0 = AA[rng.integers(0, 20, (n, _CHUNK, L + 12))]
+    t1 = AA[rng.integers(0, 20, (n, _CHUNK, L + 12))]
+    l0 = np.full((n, _CHUNK), L, np.int32)
+    l1 = np.full((n, _CHUNK), L, np.int32)
 
-    ITERS = 200
+    ITERS = 100
 
     @jax.jit
     def run(seed, t0, t1, l0, l1):
@@ -50,8 +54,8 @@ def _tpu_worker():
         # so nothing can be hoisted or reused
         def body(i, acc):
             t0x = jnp.bitwise_xor(t0, ((i + seed) & 1).astype(jnp.uint8))
-            r = sw_align_batch_pallas.__wrapped__(t0x, t1, l0, l1)
-            return acc + r['score'][(i + seed) % B]
+            r = _sw_align_chunked(t0x, t1, l0, l1)
+            return acc + r['score'][0, (i + seed) % _CHUNK]
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
@@ -60,25 +64,27 @@ def _tpu_worker():
     # lazy warm cost.  Warm with a real fetch, then time fresh work.
     chk = int(np.asarray(run(0, t0, t1, l0, l1)))
     best = 0.0
-    for trial in (1, 2):
+    for trial in (1, 2, 3):
         tt = time.time()
         r = int(np.asarray(run(trial, t0, t1, l0, l1)))
         dt = (time.time() - tt) / ITERS
         best = max(best, CELLS / dt)
 
-    # real-chip correctness gate: every output field of the compiled
-    # kernel must be bit-identical to the C++ oracle (the interpret-mode
-    # tests cannot see chip-specific lowering bugs); a mismatch zeroes
-    # the reported value so a wrong-but-fast kernel can never score
+    # real-chip correctness gate: every output field of the MEASURED
+    # production path must be bit-identical to the C++ oracle (the
+    # interpret-mode tests cannot see chip-specific lowering bugs); a
+    # mismatch zeroes the reported value so a wrong-but-fast kernel can
+    # never score
     parity = True
     try:
         from swiftortho_tpu.native import sw_align_batch_native
-        got = {k: np.asarray(v)
-               for k, v in sw_align_batch_pallas(
+        got = {k: np.asarray(v).reshape(-1)
+               for k, v in _sw_align_chunked(
                    jnp.asarray(t0), jnp.asarray(t1),
                    jnp.asarray(l0), jnp.asarray(l1)).items()}
-        want = sw_align_batch_native(t0, t1, l0, l1)
-        parity = all(np.array_equal(got[k], np.asarray(want[k]))
+        want = sw_align_batch_native(t0.reshape(B, -1), t1.reshape(B, -1),
+                                     l0.reshape(-1), l1.reshape(-1))
+        parity = all(np.array_equal(got[k], np.asarray(want[k]).reshape(-1))
                      for k in want)
     except Exception:
         pass                                   # no g++: skip the gate

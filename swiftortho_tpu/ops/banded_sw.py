@@ -30,6 +30,7 @@ Two implementations with identical results:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -354,7 +355,14 @@ def sw_align_batch(tok0: jnp.ndarray, tok1: jnp.ndarray,
     return best
 
 
-_CHUNK = 512          # pairs per pallas kernel launch (VMEM-bound)
+# Pairs per pallas kernel launch.  The TPU batch rides ONE dispatch as a
+# lax.map over fixed-size chunks; SMALLER chunks measured faster per cell
+# on the target chip (finer map pipelining of input DMA against compute:
+# 128 -> 17.6 Gcells/s vs 512 -> 14.6 at 4096 pairs, L=500, full stats),
+# and 128 is the floor (the kernel requires multiples of 128 lanes).
+# SWIFTORTHO_ALIGN_CHUNK overrides for re-tuning on other parts.
+_CHUNK = max(128, int(os.environ.get('SWIFTORTHO_ALIGN_CHUNK', '128'))
+             // 128 * 128)
 
 
 @partial(jax.jit, static_argnames=('score_only',))

@@ -381,6 +381,19 @@ def _sw_align_chunked(t0, t1, l0, l1, score_only=False):
 
 _COMPILED_NPOW: dict = {}
 
+
+def next_chunk_count(n: int) -> int:
+    """Smallest {2^k, 3*2^k} >= n.  Chunk counts are drawn from this
+    ladder (instead of pure powers of two) so batch padding is at most
+    ~33% instead of ~100% worst-case; each ladder value still compiles
+    only once per shape key (and the XLA compile cache persists)."""
+    p = 1
+    while p < n:
+        if 3 * p >= n and 2 * p < n:
+            return 3 * p
+        p *= 2
+    return p
+
 # wall-time decomposition of the TPU align path, accumulated across calls
 # (pad_s: host padding; call_s: H2D + trace/enqueue; fetch_s: completion +
 # D2H; pairs/padded: batch accounting).  blastp logs + resets per wave.
@@ -420,9 +433,7 @@ def sw_align_auto(tok0, tok1, len0, len1, score_only=False):
         if usable:
             npow = min(usable)
         else:
-            npow = 1
-            while npow < n:
-                npow *= 2
+            npow = next_chunk_count(n)
             seen.add(npow)
         import time as _t
         _w0 = _t.time()

@@ -210,7 +210,8 @@ class DevicePackContext:
 
         import jax.numpy as jnp
 
-        from .banded_sw import _CHUNK, _COMPILED_NPOW, ALIGN_PROF
+        from .banded_sw import (_CHUNK, _COMPILED_NPOW, ALIGN_PROF,
+                                next_chunk_count)
 
         # the pair arrays cannot be wider than the combined table; the
         # kernel's results depend only on the lengths, so clamping the
@@ -228,9 +229,7 @@ class DevicePackContext:
         if usable:
             npow = min(usable)
         else:
-            npow = 1
-            while npow < n:
-                npow *= 2
+            npow = next_chunk_count(n)
             seen.add(npow)
         pad = npow * _CHUNK - B
 

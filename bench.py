@@ -39,6 +39,10 @@ def _tpu_worker():
 
     rng = np.random.default_rng(0)
     AA = np.frombuffer(b'ACDEFGHIKLMNPQRSTVWY', np.uint8)
+    # CELLS assumes every one of the B pairs runs; a chunk size that does
+    # not divide B would silently truncate the workload and overstate
+    # cells/s (and break the parity gate's reshape below)
+    assert B % _CHUNK == 0, (B, _CHUNK)
     n = B // _CHUNK
     t0 = AA[rng.integers(0, 20, (n, _CHUNK, L + 12))]
     t1 = AA[rng.integers(0, 20, (n, _CHUNK, L + 12))]
@@ -86,8 +90,9 @@ def _tpu_worker():
                                      l0.reshape(-1), l1.reshape(-1))
         parity = all(np.array_equal(got[k], np.asarray(want[k]).reshape(-1))
                      for k in want)
-    except Exception:
-        pass                                   # no g++: skip the gate
+    except (ImportError, OSError):
+        pass        # no g++/oracle .so: skip the gate; anything else
+        # (shape bugs, chip faults) must fail LOUDLY, not skip the gate
     print(json.dumps({'cells_per_s': best if parity else 0.0,
                       'chk': chk, 'parity': parity}), flush=True)
 

@@ -367,9 +367,10 @@ _CHUNK = max(128, int(os.environ.get('SWIFTORTHO_ALIGN_CHUNK', '128'))
 
 @partial(jax.jit, static_argnames=('score_only',))
 def _sw_align_chunked(t0, t1, l0, l1, score_only=False):
-    """(N, 512, L) chunked alignment in ONE dispatch: lax.map over the
+    """(N, _CHUNK, L) chunked alignment in ONE dispatch: lax.map over the
     pallas kernel (dispatch through the TPU tunnel costs ~20 ms, so many
-    chunks must ride one call)."""
+    chunks must ride one call; _CHUNK defaults to 128 — the measured
+    optimum, see the _CHUNK comment above)."""
     from .banded_sw_pallas import sw_align_batch_pallas
 
     def one(args):
@@ -384,9 +385,11 @@ _COMPILED_NPOW: dict = {}
 
 def next_chunk_count(n: int) -> int:
     """Smallest {2^k, 3*2^k} >= n.  Chunk counts are drawn from this
-    ladder (instead of pure powers of two) so batch padding is at most
-    ~33% instead of ~100% worst-case; each ladder value still compiles
-    only once per shape key (and the XLA compile cache persists)."""
+    ladder (instead of pure powers of two) so batch padding worst-case
+    drops from ~100% to ~50% (n = 2*2^k + 1 rounds up to 3*2^k; the
+    3*2^k -> 4*2^k gap pads at most ~33%); each ladder value still
+    compiles only once per shape key (and the XLA compile cache
+    persists)."""
     p = 1
     while p < n:
         if 3 * p >= n and 2 * p < n:
@@ -403,8 +406,9 @@ ALIGN_PROF = {'pad_s': 0.0, 'call_s': 0.0, 'fetch_s': 0.0,
 
 def sw_align_auto(tok0, tok1, len0, len1, score_only=False):
     """Dispatch to the Pallas TPU kernel when running on TPU (fixed
-    512-pair chunks, power-of-two chunk counts to bound compilation),
-    else the portable lax.scan version.
+    _CHUNK-pair chunks — default 128 — with chunk counts drawn from
+    next_chunk_count's {2^k, 3*2^k} ladder to bound compilation), else
+    the portable lax.scan version.
 
     score_only: skip the per-cell path-statistics carries in the TPU
     kernel (score/bi/bj remain exact; other fields return 0).  The host

@@ -114,3 +114,38 @@ class TestBatchVsOracle:
             o = kswat_oracle(s0, s1, qst, sst)
             assert int(res['score'][r]) == o.raw_score
             assert int(res['aln'][r]) == o.aln
+
+
+class TestChunkDispatch:
+    def test_next_chunk_count_is_smallest_ladder_value(self):
+        # the ladder {2^k, 3*2^k} that sw_align_auto and
+        # DevicePackContext.run pad batches to (compile-cache reuse)
+        from swiftortho_tpu.ops.banded_sw import next_chunk_count
+        ladder = sorted({1 << k for k in range(14)}
+                        | {3 << k for k in range(14)})
+        for n in list(range(1, 300)) + [511, 512, 513, 769, 2049, 3072,
+                                        3073, 4096]:
+            want = min(v for v in ladder if v >= n)
+            assert next_chunk_count(n) == want, n
+
+    def test_auto_non_pow2_batch(self, rng):
+        # a batch size that is neither a _CHUNK multiple nor a power of
+        # two goes through the padding path; results must match the
+        # unpadded batch kernel row-for-row
+        from swiftortho_tpu.ops.banded_sw import sw_align_auto
+        pairs = _gen_pairs(rng, 37)
+        res = _run_batch(pairs)
+        B, pad = len(pairs), 144
+        tok0 = np.zeros((B, pad), np.uint8)
+        tok1 = np.zeros((B, pad), np.uint8)
+        len0 = np.zeros(B, np.int32)
+        len1 = np.zeros(B, np.int32)
+        for r, (s0, s1, qst, sst) in enumerate(pairs):
+            a, b = s0[qst:], s1[sst:]
+            if not len(a) < len(b):
+                a, b = b, a
+            tok0[r, :len(a)] = np.frombuffer(a.encode(), np.uint8)
+            tok1[r, :len(b)] = np.frombuffer(b.encode(), np.uint8)
+            len0[r], len1[r] = len(a), len(b)
+        got = sw_align_auto(tok0, tok1, len0, len1)
+        assert np.array_equal(np.asarray(got['score']), res['score'])

@@ -65,8 +65,27 @@ def main(argv=None):
         threshold=int(args['-t']), nc=int(args['-M']),
         chunk=int(args['-c']))
     out = args['-o']
-    # fleet (SWIFTORTHO_COORD) or local multi-device (SWIFTORTHO_MESH=1)
-    # runs shard the device batches over the global mesh
+    import jax
+    if jax.process_count() > 1:
+        # fleet (SWIFTORTHO_COORD): each rank searches its contiguous
+        # 1/N query slice over its LOCAL devices, rank 0 merges the
+        # parts in rank order — the reference's -l/-u worker fan-out +
+        # ordered write-back (bin/find_hit.py:107-151)
+        if not out:
+            print('fleet mode requires -o <file> (rank parts are merged '
+                  'on disk)')
+            return 1
+        from ..io_fasta import SeqDB
+        from ..parallel.distributed import fleet_search_to_file
+        fleet_search_to_file(
+            SeqDB.from_path(args['-i']), SeqDB.from_path(args['-d']),
+            cfg, out, q_start=int(args['-l']), q_end=int(args['-u']),
+            db_prefix=args['-D'], append=args['-O'].startswith('a'),
+            spill_dir=args['-T'] or None,
+            r_start=int(args['-L']), r_end=int(args['-U']))
+        return 0
+    # local multi-device (SWIFTORTHO_MESH=1) runs shard the device
+    # batches over the local mesh
     from ..parallel.distributed import search_mesh_context
     with search_mesh_context():
         blastp_to_file(args['-i'], args['-d'], out or sys.stdout, cfg,

@@ -72,9 +72,23 @@ def main(argv=None):
             for line in nr_expand(fh):
                 out.write(line)
     else:
-        from ..parallel.distributed import search_mesh_context
-        with search_mesh_context():
-            blastp_to_file(fas, fas, sc_path, scfg)
+        import jax
+        if jax.process_count() > 1:
+            # fleet: rank-split query ranges + rank-0 ordered merge
+            # (parallel.distributed); the downstream stages run on rank
+            # 0 only — every other rank stops after the search barrier
+            from ..io_fasta import SeqDB
+            from ..parallel.distributed import fleet_search_to_file
+            db = SeqDB.from_path(fas)
+            fleet_search_to_file(db, db, scfg, sc_path)
+        else:
+            from ..parallel.distributed import search_mesh_context
+            with search_mesh_context():
+                blastp_to_file(fas, fas, sc_path, scfg)
+    import jax as _jax
+    if _jax.process_count() > 1 and _jax.process_index() != 0:
+        log_event('fleet_rank_done', rank=_jax.process_index())
+        return 0
     log_event('search', seconds=round(time() - t0, 3))
     print('all to all homologous searching time:', time() - t0)
 

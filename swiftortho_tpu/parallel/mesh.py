@@ -122,9 +122,11 @@ def sw_align_sharded(mesh: Mesh, tok0, tok1, len0, len1) -> dict:
         _SHARDED_ALIGN_CACHE[key] = fn
     args = (np.ascontiguousarray(tok0), np.ascontiguousarray(tok1),
             np.asarray(len0, np.int32), np.asarray(len1, np.int32))
-    if multi:
-        # every process holds the full host batch (replicated host
-        # pipeline); hand jit only the locally-addressable shards
+    if jax.process_count() > 1:
+        # a multi-process runtime refuses numpy inputs under non-trivial
+        # shardings even on a local-devices mesh — build the jax.Arrays
+        # explicitly (this host holds the full batch: the fleet's ranks
+        # each run their own query slice with a LOCAL mesh)
         from .distributed import host_to_global
         args = (host_to_global(psh, args[0]), host_to_global(psh, args[1]),
                 host_to_global(vsh, args[2]), host_to_global(vsh, args[3]))

@@ -1,9 +1,22 @@
-"""Multi-host scale-out (VERDICT item 7): two local processes with 4 CPU
-devices each form one 8-device global mesh via jax.distributed; the
-sharded search step and the full blastp pipeline run unchanged across
-them, and every rank's hit table is byte-identical to the single-device
-run."""
+"""Multi-host scale-out: two local processes with 4 CPU devices each.
 
+Round-3 architecture (VERDICT r2 item 1): fleet ranks DIVIDE the work —
+each rank searches its contiguous 1/N query slice (the reference's -l/-u
+worker fan-out, bin/find_hit.py:107-151) over its LOCAL devices, and
+rank 0 concatenates the parts in rank order.  These tests assert:
+
+- the merged output is byte-identical to the single-process
+  blastp_stream over the full range (including misaligned wave
+  boundaries: the corpus size is odd with respect to query_batch);
+- each rank really ran ~half the waves (search_wave log counts) over
+  half the query range (fleet_rank_range log events);
+- the lockstep global-mesh SPMD step still works across hosts
+  (demo_multichip over the 2x4 global mesh);
+- 2-rank fleet search wall time < 0.7x the 1-rank time on the same
+  corpus (the scaling-efficiency regression, VERDICT r2 item 4).
+"""
+
+import json
 import os
 import socket
 import subprocess
@@ -15,37 +28,43 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = textwrap.dedent("""
-    import sys
+    import sys, time
     pid, nproc, port, fsa, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                      int(sys.argv[3]), sys.argv[4],
                                      sys.argv[5])
+    dbprefix = sys.argv[6] if len(sys.argv) > 6 else ''
+    ndev = int(sys.argv[7]) if len(sys.argv) > 7 else 4
     import jax
     jax.config.update('jax_platforms', 'cpu')
     import numpy as np
-    from swiftortho_tpu.parallel.distributed import (blastp_distributed,
+    from swiftortho_tpu.parallel.distributed import (fleet_search_to_file,
                                                      global_mesh,
                                                      init_distributed)
-    assert init_distributed('127.0.0.1:%d' % port, nproc, pid)
+    init_distributed('127.0.0.1:%d' % port, nproc, pid)
     assert jax.process_count() == nproc
-    assert jax.local_device_count() == 4
-    assert jax.device_count() == 4 * nproc
+    assert jax.local_device_count() == ndev
+    assert jax.device_count() == ndev * nproc
 
-    # the item-1 sharded step, unchanged, over the 2-host global mesh
-    from swiftortho_tpu.parallel.mesh import demo_multichip
-    mesh = global_mesh()
-    assert mesh.devices.shape == (nproc, 4)
-    masked, bits, merged = demo_multichip(mesh=mesh)
-    np.save('%s/merged_%d.npy' % (outdir, pid), merged)
+    if nproc > 1 and ndev > 1:
+        # the lockstep SPMD step, unchanged, over the 2-host global mesh
+        from swiftortho_tpu.parallel.mesh import demo_multichip
+        mesh = global_mesh()
+        assert mesh.devices.shape == (nproc, ndev)
+        masked, bits, merged = demo_multichip(mesh=mesh)
+        np.save('%s/merged_%d.npy' % (outdir, pid), merged)
 
-    # the full pipeline: host stages replicated, device batches global
+    # the production fleet path: rank-split ranges + rank-0 ordered merge
     from swiftortho_tpu.config import SearchConfig
     from swiftortho_tpu.io_fasta import SeqDB
     db = SeqDB.from_path(fsa)
-    cfg = SearchConfig(expect=1e-5, nc=262144, chunk=12, query_batch=16)
-    rows = list(blastp_distributed(db, db, cfg))
-    with open('%s/rows_%d.sc' % (outdir, pid), 'w') as fh:
-        fh.writelines(rows)
-    print('worker %d done: %d rows' % (pid, len(rows)), flush=True)
+    cfg = SearchConfig(expect=1e-5, nc=262144, chunk=12, query_batch=4)
+    t0 = time.time()
+    fleet_search_to_file(db, db, cfg, '%s/merged_%d.sc' % (outdir, nproc),
+                         db_prefix=dbprefix)
+    dt = time.time() - t0
+    with open('%s/time_%d_%d.txt' % (outdir, nproc, pid), 'w') as fh:
+        fh.write('%f' % dt)
+    print('worker %d/%d done in %.2fs' % (pid, nproc, dt), flush=True)
 """)
 
 
@@ -55,48 +74,109 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_fleet_matches_single_device(tmp_path):
-    from swiftortho_tpu.config import SearchConfig
-    from swiftortho_tpu.corpus import make_corpus, write_corpus
-    from swiftortho_tpu.io_fasta import SeqDB
-    from swiftortho_tpu.search.blastp import blastp_stream
-
-    fsa = str(tmp_path / 'mini.fsa')
-    write_corpus(fsa, make_corpus(n_taxa=2, n_families=8, seed=5,
-                                  min_len=60, max_len=120))
+def _run_fleet(tmp_path, fsa, nproc, dbprefix='', threads='1', ndev=4):
+    """Launch an nproc fleet; returns per-rank combined stdout+stderr."""
     worker = tmp_path / 'worker.py'
     worker.write_text(WORKER)
     port = _free_port()
-
     env = dict(os.environ)
     env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
-                        + ' --xla_force_host_platform_device_count=4'
-                        ).strip()
+                        + ' --xla_force_host_platform_device_count=%d'
+                        % ndev).strip()
     env['PYTHONPATH'] = os.pathsep.join(
         [REPO] + [p for p in env.get('PYTHONPATH', '').split(os.pathsep)
                   if p])
+    # fair scaling on one box: cap per-rank native threads so ranks
+    # parallelize over cores instead of each grabbing every core
+    env['SWNATIVE_THREADS'] = threads
+    env['SWIFTORTHO_PRODUCERS'] = '1'
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(pid), '2', str(port), fsa,
-         str(tmp_path)],
+        [sys.executable, str(worker), str(pid), str(nproc), str(port),
+         fsa, str(tmp_path), dbprefix, str(ndev)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)]
+        for pid in range(nproc)]
     outs = []
     for p in procs:
         out, _ = p.communicate(timeout=600)
         outs.append(out.decode(errors='replace'))
     assert all(p.returncode == 0 for p in procs), '\n'.join(outs)
+    return outs
 
-    # sharded-step outputs agree across ranks
+
+def _events(out: str, stage: str):
+    evs = []
+    for line in out.splitlines():
+        if line.startswith('[swiftortho] {'):
+            rec = json.loads(line[len('[swiftortho] '):])
+            if rec.get('stage') == stage:
+                evs.append(rec)
+    return evs
+
+
+def test_two_process_fleet_divides_work_and_matches_single(tmp_path):
+    from swiftortho_tpu.config import SearchConfig
+    from swiftortho_tpu.corpus import make_corpus, write_corpus
+    from swiftortho_tpu.io_fasta import SeqDB
+    from swiftortho_tpu.search.blastp import blastp_stream
+
+    # 18 sequences with query_batch=4: rank 1 starts at query 9, so its
+    # wave boundaries (9,13,17) differ from the single-process run's
+    # (8,12,16) — byte-identity proves per-query output is
+    # wave-boundary invariant
+    fsa = str(tmp_path / 'mini.fsa')
+    write_corpus(fsa, make_corpus(n_taxa=2, n_families=9, seed=5,
+                                  min_len=60, max_len=120))
+    outs = _run_fleet(tmp_path, fsa, nproc=2)
+
+    # lockstep SPMD step outputs agree across ranks
     m0 = np.load(tmp_path / 'merged_0.npy')
     m1 = np.load(tmp_path / 'merged_1.npy')
     assert np.array_equal(m0, m1)
 
-    # pipeline rows: identical on both ranks AND identical to the plain
-    # single-device blastp_stream
-    rows0 = (tmp_path / 'rows_0.sc').read_text()
-    rows1 = (tmp_path / 'rows_1.sc').read_text()
-    assert rows0 == rows1 and rows0
+    # each rank took half the query range...
+    ranges = [_events(o, 'fleet_rank_range') for o in outs]
+    assert [r[0]['q_lo'] for r in ranges] == [0, 9] or \
+        [r[0]['q_lo'] for r in ranges] == [9, 0]
+    spans = sorted((r[0]['q_lo'], r[0]['q_hi']) for r in ranges)
+    assert spans == [(0, 9), (9, 18)]
+    # ...and really ran only its own waves (~half each, not replicated)
+    wave_counts = sorted(len(_events(o, 'search_wave')) for o in outs)
+    assert wave_counts == [3, 3], wave_counts     # ceil(9/4) per rank
+
+    # merged output byte-identical to the single-process run
+    merged = (tmp_path / 'merged_2.sc').read_text()
     db = SeqDB.from_path(fsa)
-    cfg = SearchConfig(expect=1e-5, nc=262144, chunk=12, query_batch=16)
+    cfg = SearchConfig(expect=1e-5, nc=262144, chunk=12, query_batch=4)
     ref = ''.join(blastp_stream(db, db, cfg))
-    assert rows0 == ref
+    assert merged == ref and merged
+    # parts were cleaned up after the merge
+    assert not list(tmp_path.glob('merged_2.sc.part*'))
+
+
+def test_fleet_scaling_efficiency(tmp_path):
+    """2-rank fleet wall time < 0.7x 1-rank on the same corpus (both
+    measured in-worker, same startup costs, shared prebuilt disk index,
+    1 native thread per rank so ranks scale over cores).  Ranks run
+    single-device (a fleet of 1-chip hosts): what divides across ranks
+    is the HOST pipeline — the critical path at scale (BASELINE.md) —
+    and per-rank jit compiles would otherwise swamp this small corpus."""
+    from swiftortho_tpu.config import SearchConfig
+    from swiftortho_tpu.corpus import make_corpus, write_corpus
+    from swiftortho_tpu.io_fasta import SeqDB
+    from swiftortho_tpu.search.blastp import make_db
+
+    fsa = str(tmp_path / 'scale.fsa')
+    write_corpus(fsa, make_corpus(n_taxa=10, n_families=200, seed=7,
+                                  min_len=120, max_len=240))
+    cfg = SearchConfig(expect=1e-5, nc=262144, query_batch=4)
+    make_db(SeqDB.from_path(fsa), cfg, out_prefix=fsa)
+
+    _run_fleet(tmp_path, fsa, nproc=1, dbprefix=fsa, ndev=1)
+    t1 = float((tmp_path / 'time_1_0.txt').read_text())
+    _run_fleet(tmp_path, fsa, nproc=2, dbprefix=fsa, ndev=1)
+    t2 = max(float((tmp_path / ('time_2_%d.txt' % pid)).read_text())
+             for pid in range(2))
+    # byte-identity between the two fleet sizes, for free
+    assert (tmp_path / 'merged_2.sc').read_text() == \
+        (tmp_path / 'merged_1.sc').read_text() != ''
+    assert t2 < 0.7 * t1, (t1, t2)

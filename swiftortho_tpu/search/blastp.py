@@ -866,9 +866,15 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                 rows_of[r] = rows
             else:
                 need_more.append(r)
+        # escalation visibility: queries whose stop condition was not
+        # resolved inside the first rung (mis-tuned rungs on unusual
+        # corpora show up here; rungs are schedule-only, never output)
+        esc_queries = len(need_more)
+        esc_rounds = 0
         for stage in ladder:
             if not need_more:
                 break
+            esc_rounds += 1
             tail_mask = np.zeros(n_pairs, dtype=bool)
             for r in need_more:
                 tail_mask[q_lo[r]:q_hi[r]] = True
@@ -895,6 +901,8 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                   rank_s=round(_t_prep - _t_cand, 2),
                   align1_s=round(_t_align1 - _t_prep, 2),
                   policy_s=round(_t_align2 - _t_align1, 2),
+                  esc_queries=esc_queries, esc_rounds=esc_rounds,
+                  rung0=rung0,
                   **({'aprof': {k: (round(v, 2)
                                     if isinstance(v, float) else v)
                                 for k, v in _AP.items()}}

@@ -220,3 +220,31 @@ class TestStageLadderInvariance:
             monkeypatch.setenv('SWIFTORTHO_ALIGN_STAGES', stages)
             rows = list(blastp_stream(corpus, corpus, cfg))
             assert rows == base, 'stages=%s changed output' % stages
+
+    def test_escalation_counts_logged(self, tmp_path, monkeypatch, capfd):
+        """The search_wave log carries rung-escalation visibility
+        (esc_queries / esc_rounds / rung0): deep families (16 taxa, so
+        every query has >rung0 passing hits and its stop rank falls past
+        the tiny first rung) force escalations, and they must be
+        observable."""
+        import json
+        fsa = str(tmp_path / 'deep.fsa')
+        write_corpus(fsa, make_corpus(n_taxa=24, n_families=4, seed=3,
+                                      min_len=60, max_len=120))
+        deep = SeqDB.from_path(fsa)
+        # v=6 with ~23 passing family hits per query: the stop condition
+        # (bv >= v+mmiss ~ 17) lands past rung0, so the fast path cannot
+        # resolve and the ladder escalates
+        cfg = SearchConfig(expect=1e-5, nc=262144, chunk=24,
+                           query_batch=64, v=6, max_miss=0.6)
+        monkeypatch.setenv('SWIFTORTHO_ALIGN_STAGES', '1')
+        list(blastp_stream(deep, deep, cfg))
+        err = capfd.readouterr().err
+        waves = [json.loads(l[len('[swiftortho] '):])
+                 for l in err.splitlines()
+                 if l.startswith('[swiftortho] {')]
+        waves = [w for w in waves if w.get('stage') == 'search_wave']
+        assert waves
+        assert all('esc_queries' in w and 'esc_rounds' in w
+                   and 'rung0' in w for w in waves)
+        assert sum(w['esc_queries'] for w in waves) > 0

@@ -84,6 +84,9 @@ def run_fleet(nproc, fsa, out, dbprefix, workdir):
 
 
 def main():
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update('jax_platforms', 'cpu')   # index build is host work
     ap = argparse.ArgumentParser()
     ap.add_argument('--fsa', default='')
     ap.add_argument('--seqs', type=int, default=2000)

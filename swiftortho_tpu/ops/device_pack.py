@@ -66,9 +66,17 @@ def _pack(table, idx, off, n, L: int):
 
 
 def _packed_align(db_table, q_table, i0, o0, n0, i1, o1, n1,
-                  score_only: bool, L0: int, L1: int):
-    """Jitted: build both pair arrays on device and run the chunked
-    kernel.  Shapes are static per (L0, L1, npow, table rows, widths)."""
+                  score_only: bool, L0: int, L1: int,
+                  use_scan: bool = False):
+    """Jitted: build both pair arrays on device and run the kernel.
+    Shapes are static per (L0, L1, npow, table rows, widths).  Outputs
+    are flattened to (B,) per field so a sharded caller can partition
+    the pair axis uniformly.
+
+    ``use_scan``: force the portable lax.scan kernel — the sharded
+    (mesh) path uses it so the pair axis partitions cleanly over
+    devices (matching sw_align_sharded's kernel choice; bit-identical
+    by the four-implementation parity contract)."""
     import jax
     import jax.numpy as jnp
 
@@ -82,31 +90,53 @@ def _packed_align(db_table, q_table, i0, o0, n0, i1, o1, n1,
     table = jnp.concatenate([db_table, q_table], axis=0)
     t0 = _pack(table, i0, o0, n0, L0)
     t1 = _pack(table, i1, o1, n1, L1)
-    if jax.default_backend() not in ('tpu', 'axon'):
-        # CPU (tests force the pack path there): the portable lax.scan
-        # kernel — bit-identical to the pallas/native ones by the
+    if use_scan or jax.default_backend() not in ('tpu', 'axon'):
+        # portable lax.scan kernel (CPU tests and the sharded path) —
+        # bit-identical to the pallas/native ones by the
         # four-implementation parity contract
         return sw_align_batch(t0, t1, n0, n1)
     B = t0.shape[0]
     npow = B // _CHUNK
     sh0 = (npow, _CHUNK, L0)
     sh1 = (npow, _CHUNK, L1)
-    return _sw_align_chunked(t0.reshape(sh0), t1.reshape(sh1),
-                             n0.reshape(npow, _CHUNK),
-                             n1.reshape(npow, _CHUNK),
-                             score_only=score_only)
+    out = _sw_align_chunked(t0.reshape(sh0), t1.reshape(sh1),
+                            n0.reshape(npow, _CHUNK),
+                            n1.reshape(npow, _CHUNK),
+                            score_only=score_only)
+    return {k: v.reshape(-1) for k, v in out.items()}
 
 
-_packed_align_jit = None
+_packed_align_jits: dict = {}
 
 
-def _get_packed_align():
-    global _packed_align_jit
-    if _packed_align_jit is None:
-        import jax
-        _packed_align_jit = jax.jit(
-            _packed_align, static_argnames=('score_only', 'L0', 'L1'))
-    return _packed_align_jit
+def _get_packed_align(mesh=None):
+    """The jitted packed-align entry: single-device by default; with an
+    active search mesh, a sharded variant — token tables replicated over
+    every mesh device, the per-pair scalar vectors (and outputs)
+    partitioned over the flattened ('data','db') axes.  Multi-chip runs
+    therefore KEEP the scalars-only H2D transfer shape (VERDICT r2
+    item 3): the only per-wave device traffic is the scalar index
+    vectors, exactly as on one chip."""
+    import jax
+    key = None if mesh is None else id(mesh)
+    fn = _packed_align_jits.get(key)
+    if fn is None:
+        # statics positionally (argnums): pjit with in_shardings
+        # rejects kwargs, so both variants share one calling convention
+        statics = (8, 9, 10, 11)        # score_only, L0, L1, use_scan
+        if mesh is None:
+            fn = jax.jit(_packed_align, static_argnums=statics)
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            vec = NamedSharding(mesh, P(('data', 'db')))
+            fn = jax.jit(
+                _packed_align, static_argnums=statics,
+                in_shardings=(rep, rep, vec, vec, vec, vec, vec, vec),
+                out_shardings=vec)
+        _packed_align_jits[key] = fn
+    return fn
 
 
 class DevicePackContext:
@@ -137,13 +167,32 @@ class DevicePackContext:
         self.ok = self.n_db > 0
         self.n_total = n
         self.wave_capacity = 0       # driver sets to the wave size so
-        self._tab_dev = None         # tail waves reuse compiled shapes
-        self._db = db
-        self._wave_cache: list = []  # [(toks_ref, dev, width)], FIFO
+        self._tab_dev: dict = {}     # mesh-key -> device table
+        self._db = db                # kept: tables rebuild per mesh key
+        self._wave_cache: list = []  # [(toks_ref, mesh_key, dev, width)]
 
-    def _table(self):
-        if self._tab_dev is None:
-            import jax.numpy as jnp
+    @staticmethod
+    def _mesh():
+        """The active search mesh (parallel.mesh) — when set, the table
+        replicates over every mesh device and the packed align runs with
+        the pair axis sharded, so multi-chip keeps scalars-only H2D."""
+        from ..parallel import mesh as _meshmod
+        return _meshmod.active_search_mesh()
+
+    @staticmethod
+    def _put(arr, mesh):
+        import jax
+        import jax.numpy as jnp
+        if mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        return jax.device_put(arr, NamedSharding(mesh, P()))
+
+    def _table(self, mesh=None):
+        key = None if mesh is None else id(mesh)
+        dev = self._tab_dev.get(key)
+        if dev is None:
             db = self._db
             lens = (db.offsets[1:]
                     - db.offsets[:-1]).astype(np.int64)[:self.n_db]
@@ -163,25 +212,27 @@ class DevicePackContext:
                      for i in range(self.n_db)]) if self.n_db else \
                     np.zeros(0, np.uint8)
                 tab[mask] = src
-            self._tab_dev = jnp.asarray(tab)
-            self._db = None          # the table replaces it
-        return self._tab_dev
+            dev = self._put(tab, mesh)
+            self._tab_dev.clear()    # one resident table (mesh is a
+            self._tab_dev[key] = dev  # per-run property, never mixed)
+        return dev
 
     def wave_table(self, toks: np.ndarray):
         """Upload a wave's padded query rows; returns a (device_rows,
         width) handle.  Cached by array identity (the cache keeps strong
         references, so ids stay valid); a few entries are retained so
         pipelined waves don't evict each other."""
-        for ref, dev, width in self._wave_cache:
-            if ref is toks:
+        mesh = self._mesh()
+        mkey = None if mesh is None else id(mesh)
+        for ref, mk, dev, width in self._wave_cache:
+            if ref is toks and mk == mkey:
                 return dev, width
-        import jax.numpy as jnp
         t = toks
         cap = max(self.wave_capacity, t.shape[0])
         if t.shape[0] < cap:
             t = np.pad(t, ((0, cap - t.shape[0]), (0, 0)))
-        dev = jnp.asarray(t)
-        self._wave_cache.append((toks, dev, toks.shape[1]))
+        dev = self._put(t, mesh)
+        self._wave_cache.append((toks, mkey, dev, toks.shape[1]))
         del self._wave_cache[:-4]
         return dev, toks.shape[1]
 
@@ -194,9 +245,6 @@ class DevicePackContext:
         if mode == 'force':
             return True
         import jax
-        from ..parallel import mesh as _meshmod
-        if _meshmod.active_search_mesh() is not None:
-            return False
         return jax.default_backend() in ('tpu', 'axon')
 
     def run(self, wave, i0, o0, n0, i1, o1, n1, L0: int, L1: int,
@@ -233,6 +281,15 @@ class DevicePackContext:
             seen.add(npow)
         pad = npow * _CHUNK - B
 
+        # active search mesh: replicate the tables, shard the pair axis
+        # (VERDICT r2 item 3: multi-chip keeps scalars-only H2D).  The
+        # padded batch is a _CHUNK(=128)-multiple, so any pow2 mesh up
+        # to 128 devices divides it; larger/odd meshes fall back to the
+        # single-device dispatch (still correct, still packed)
+        mesh = self._mesh()
+        if mesh is not None and (npow * _CHUNK) % int(mesh.devices.size):
+            mesh = None
+
         def prep(a):
             a = np.ascontiguousarray(a, dtype=np.int32)
             return np.pad(a, (0, pad)) if pad else a
@@ -240,11 +297,23 @@ class DevicePackContext:
         i0, o0, n0 = prep(i0), prep(o0), prep(n0)
         i1, o1, n1 = prep(i1), prep(o1), prep(n1)
         _w1 = _t.time()
-        out = _get_packed_align()(
-            self._table(), wave_dev,
-            jnp.asarray(i0), jnp.asarray(o0), jnp.asarray(n0),
-            jnp.asarray(i1), jnp.asarray(o1), jnp.asarray(n1),
-            score_only=bool(score_only), L0=L0, L1=L1)
+        vecs = (i0, o0, n0, i1, o1, n1)
+        if mesh is not None:
+            import jax as _jax
+            if _jax.process_count() > 1:
+                # multi-process runtime refuses numpy under non-trivial
+                # shardings even on a local mesh
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.distributed import host_to_global
+                vsh = NamedSharding(mesh, P(('data', 'db')))
+                vecs = tuple(host_to_global(vsh, a) for a in vecs)
+        else:
+            vecs = tuple(jnp.asarray(a) for a in vecs)
+        out = _get_packed_align(mesh)(
+            self._table(mesh), wave_dev, *vecs,
+            bool(score_only), L0, L1, mesh is not None)
         _w2 = _t.time()
         # prepass consumers read only score (bit derives from it); skip
         # the D2H of every other field

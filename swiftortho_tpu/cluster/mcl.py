@@ -281,9 +281,19 @@ def _run_sparse_comp(c, comp_nodes, ei, ej, w, e_order, e_bounds,
         ri, rj = (xr > prune).nonzero()
     else:
         from .mcl_blocksparse import mcl_blocksparse
+
+        # SWIFTORTHO_MCL_MESH=1: shard the expansion matmuls over every
+        # local device (mcl_blocksparse mesh mode); identical partitions
+        mesh = None
+        if os.environ.get('SWIFTORTHO_MCL_MESH', '') not in ('', '0'):
+            import jax
+            from jax.sharding import Mesh
+            devs = np.asarray(jax.local_devices())
+            if len(devs) > 1:
+                mesh = Mesh(devs, ('dev',))
         ri, rj = mcl_blocksparse(m, li, lj, w[sel].astype(np.float32),
                                  selfw, float(inflation), prune,
-                                 ckpt=ckpt, ckpt_key=ckpt_key)
+                                 ckpt=ckpt, ckpt_key=ckpt_key, mesh=mesh)
     out = []
     if len(ri):
         sub_labels = connected_components(m, ri, rj)

@@ -237,11 +237,19 @@ class IndexSource:
         r_end = D if r_end < 0 else min(r_end, D)
         starts = list(range(r_start, r_end, chunk))
 
+        # SWIFTORTHO_INDEX=device: jit seed hashing + packed-key sort on
+        # device (ops/index_device.py) — identical SeedIndex, tested
+        import os as _os
+        if _os.environ.get('SWIFTORTHO_INDEX', '') == 'device':
+            from ..ops.index_device import build_index_device as _build
+        else:
+            _build = build_index
+
         def get(ci):
             cst = starts[ci]
-            return build_index(ref, cst, min(cst + chunk, r_end), alphabets,
-                               cfg.seeds, cfg.nc, cfg.step,
-                               threshold_override=cfg.threshold)
+            return _build(ref, cst, min(cst + chunk, r_end), alphabets,
+                          cfg.seeds, cfg.nc, cfg.step,
+                          threshold_override=cfg.threshold)
 
         return cls(len(starts), get)
 

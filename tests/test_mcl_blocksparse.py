@@ -123,3 +123,54 @@ class TestMillionEdgeGraph:
         # every cluster is exactly one family block
         for c in clusters:
             assert c[0] % csize == 0 and c[-1] == c[0] + csize - 1
+
+
+class TestMeshSharded:
+    def test_mesh_partitions_identical_small(self, rng):
+        """8-virtual-device sharded expansion == single-device
+        partitions on a chained-clique component."""
+        import jax
+        from jax.sharding import Mesh
+        m = 600
+        ei, ej, w = _clique_chain(40, 15, rng)
+        li, lj = np.asarray(ei), np.asarray(ej)
+        w = np.asarray(w, np.float32)
+        selfw = np.zeros(m, np.float32)
+        np.maximum.at(selfw, li, w)
+        np.maximum.at(selfw, lj, w)
+        single = _partition(_extract(
+            m, *mcl_blocksparse(m, li, lj, w, selfw, 1.5, mb=128)))
+        mesh = Mesh(np.asarray(jax.devices()), ('dev',))
+        sharded = _partition(_extract(
+            m, *mcl_blocksparse(m, li, lj, w, selfw, 1.5, mb=128,
+                                mesh=mesh)))
+        assert sharded == single
+
+    def test_mesh_million_edge_graph(self, rng, monkeypatch):
+        """VERDICT r2 item 6: a >=1e6-edge graph (dense families + one
+        oversize component) through SWIFTORTHO_MCL_MESH=1 — the
+        oversize component's expansion shards over all 8 virtual
+        devices — gives identical partitions to the single-device run."""
+        ei, ej, w = [], [], []
+        n_fam, csize = 5200, 20
+        for f in range(n_fam):
+            off = f * csize
+            for a in range(csize):
+                for b in range(a + 1, csize):
+                    ei.append(off + a)
+                    ej.append(off + b)
+                    w.append(1.0 + 0.1 * float(rng.random()))
+        base = n_fam * csize
+        bi, bj, bw = _clique_chain(225, csize, rng, base=base)
+        ei += bi
+        ej += bj
+        w += bw
+        n = base + 225 * csize
+        ei, ej, w = np.asarray(ei), np.asarray(ej), np.asarray(w)
+        assert len(ei) >= 1_000_000
+        single = _partition(mcl_cluster(n, ei, ej, w))
+        monkeypatch.setenv('SWIFTORTHO_MCL_MESH', '1')
+        sharded = _partition(mcl_cluster(n, ei, ej, w))
+        assert sharded == single
+        assert len(sharded) == n_fam + 225
+        assert all(len(c) == csize for c in sharded)

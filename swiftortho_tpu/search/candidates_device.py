@@ -382,20 +382,22 @@ def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
         from .candidates import generate_candidates
         return generate_candidates(q_tokens, q_lengths, db, index,
                                    alphabets, ssps)
-    # Named deviation (platform): on the axon-relayed chip, stage 2
-    # (x64 packed-key sort + while_loop chaining) reproducibly CRASHES
-    # the TPU worker — observed 2026-08-17 at 512- and 2048-query waves,
-    # wedging the single-tenant chip for ~25 min.  The path stays
-    # available on cpu (tests) and directly-attached tpu;
-    # SWIFTORTHO_DEVICE_CAND_UNSAFE=1 overrides for re-testing.
-    import os as _os
-    if (jax.default_backend() == 'axon'
-            and _os.environ.get('SWIFTORTHO_DEVICE_CAND_UNSAFE') != '1'):
-        from ..utils import log_event
-        log_event('device_candidates_fallback', reason='axon_worker_crash')
-        from .candidates import generate_candidates
-        return generate_candidates(q_tokens, q_lengths, db, index,
-                                   alphabets, ssps)
+    # Platform history (round-2 'axon worker crash', root-caused round
+    # 3, 2026-08-19 — BASELINE.md 'device candidates on the real chip'):
+    # (a) before the capacity cap existed, production waves wanted
+    # C ~ 2^26 and stage 2's several capacity-sized i64 arrays blew
+    # device memory — fixed by the cap + 512-row block chunking below
+    # (C stays <= ~2^20); (b) with the cap, the full path runs on the
+    # real chip with EXACT parity (probed at 128/512/2048/4096-query
+    # waves, 2227- and 41k-seq corpora); (c) one transient relay
+    # 'remote_compile: response body closed' connection drop was
+    # observed and the identical program compiled fine on retry —
+    # platform flakiness, not a kernel bug.  The former hard-disable
+    # keyed on backend=='axon' is gone (the relay now registers as
+    # 'tpu' anyway); the engine stays OPT-IN via SWIFTORTHO_CANDIDATES=
+    # device because the measured winner through this chip's relay is
+    # the host engine (0.95 s vs 333 s per 4096-query wave at 41k seqs
+    # — ~20 ms/dispatch and serial chain while_loops dominate).
     B, L = q_tokens.shape
     streams = _patterns_static(tuple(alphabets), ssps)
     tbls = _tables(tuple(alphabets))

@@ -456,6 +456,26 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         try:
             _tA0 = _time.time()
             n_chunks = len(source)
+            if _os.environ.get('SWIFTORTHO_CANDIDATES', '') == 'multidb':
+                # P2 reference sharding: every chunk index device-
+                # resident as a 'db'-axis shard, one wave fanned out
+                # over all shards concurrently (candidates_multidb).
+                # Spill order = shard order = chunk order, so output is
+                # byte-identical to the serial chunk sweep.
+                from .candidates_multidb import generate_candidates_multidb
+                indexes_all = [source.get(ci) for ci in range(n_chunks)]
+                for wi in range(len(waves)):
+                    toks, lens = wave_tokens(wi)
+                    for cand in generate_candidates_multidb(
+                            toks, lens, ref, indexes_all, alphabets,
+                            cfg.seeds):
+                        spill.append(wi, cand)
+                    _signal(wi)
+                log_event('search_phaseA', chunks=n_chunks,
+                          waves=len(waves), mode='multidb',
+                          shards_resident=n_chunks,
+                          cand_s=round(_time.time() - _tA0, 2))
+                return
             # candidate generation is single-thread numpy + a
             # GIL-releasing native engine; a small wave pool overlaps
             # the numpy of one wave with the native part of another

@@ -19,8 +19,12 @@ TPU-native design notes (all constraints measured on the target chip):
   (built outside by a fused-select pass) combined in-kernel with a static
   24-channel select over the row codes; byte equality for the identity
   stat uses raw bytes packed into the same words (packed = raw*32+code).
-- Path statistics are packed two-per-int32 (idy|aln, mis|gap, sti|stj);
-  fields are bounded by 4100+4100 < 2**14 per side.
+- Path statistics are packed two-per-int32 (idy|aln, mis|gap); the
+  traceback start (sti|stj, < 2^27) rides the TOP word's 28 spare bits
+  above tr|op (4 bits) — two fewer carry arrays and one fewer best-pick
+  reduce per substep.  Fields are bounded by 4100+4100 < 2**14 per
+  side; the packed layouts require sequence lengths <= 8191 (the
+  long-pair tiler caps sides at 4096 long before that).
 
 Window geometry (kbound=16, slot e in [0,16) of parity p at step t;
 parity-local slot numbering — p=0 slots are shifted one down vs the
@@ -72,17 +76,17 @@ def _shift_up(x):
 
 
 def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
-            h1, top1, ia1, mg1, st1,
-            h2, top2, ia2, mg2, st2,
-            besth, besti, bestj, bestia, bestmg, bestst,
+            h1, top1, ia1, mg1,
+            h2, top2, ia2, mg2,
+            besth, bestij, bestia, bestmg, besttop,
             *, go: int, ge: int, stats: bool = True, ablate: str = ''):
     g = pl.program_id(0)
     t0 = g * BLK_T
 
     @pl.when(g == 0)
     def _init():
-        for r in (h1, top1, ia1, mg1, st1, h2, top2, ia2, mg2, st2,
-                  besth, besti, bestj, bestia, bestmg, bestst):
+        for r in (h1, top1, ia1, mg1, h2, top2, ia2, mg2,
+                  besth, bestij, bestia, bestmg, besttop):
             r[...] = jnp.zeros_like(r)
 
     def window(refs, start, rows=NS):
@@ -104,10 +108,10 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
     l0v = l0_ref[...]
     l1v = l1_ref[...]
 
-    st_m1 = (h1[...], top1[...], ia1[...], mg1[...], st1[...])
-    st_m2 = (h2[...], top2[...], ia2[...], mg2[...], st2[...])
-    best = (besth[...], besti[...], bestj[...],
-            bestia[...], bestmg[...], bestst[...])
+    st_m1 = (h1[...], top1[...], ia1[...], mg1[...])
+    st_m2 = (h2[...], top2[...], ia2[...], mg2[...])
+    best = (besth[...], bestij[...], bestia[...], bestmg[...],
+            besttop[...])
 
     def substep(p, lt, c0w, p0w, st_m1, st_m2, best):
         t = t0 + lt
@@ -139,19 +143,21 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
         jv = t + e_col - 7
         computed = (iv >= 1) & (jv >= 1) & (iv <= l1v) & (jv <= l0v)
 
-        H1, TOP1, IA1, MG1, ST1 = st_m1
+        H1, TOP1, IA1, MG1 = st_m1
         if p == 0:
-            Hl, TOPl, IAl, MGl, STl = H1, TOP1, IA1, MG1, ST1
-            Hu, TOPu, IAu, MGu, STu = map(_shift_up,
-                                          (H1, TOP1, IA1, MG1, ST1))
+            Hl, TOPl, IAl, MGl = H1, TOP1, IA1, MG1
+            Hu, TOPu, IAu, MGu = map(_shift_up, (H1, TOP1, IA1, MG1))
         else:
-            Hl, TOPl, IAl, MGl, STl = map(_shift_down,
-                                          (H1, TOP1, IA1, MG1, ST1))
-            Hu, TOPu, IAu, MGu, STu = H1, TOP1, IA1, MG1, ST1
-        Hd, IAd, MGd, STd = st_m2[0], st_m2[2], st_m2[3], st_m2[4]
+            Hl, TOPl, IAl, MGl = map(_shift_down, (H1, TOP1, IA1, MG1))
+            Hu, TOPu, IAu, MGu = H1, TOP1, IA1, MG1
+        Hd, TOPd, IAd, MGd = st_m2
 
-        trl = jnp.right_shift(TOPl, 2)
-        tru = jnp.right_shift(TOPu, 2)
+        # TOP word layout: ST<<4 | tr<<2 | op — the traceback-start
+        # coordinate rides TOP's 28 spare bits (sti*PACK+stj < 2^27 for
+        # the <=8191-length contract), which drops two carry arrays and
+        # one best-pick reduce vs a separate ST state
+        trl = jnp.bitwise_and(jnp.right_shift(TOPl, 2), 3)
+        tru = jnp.bitwise_and(jnp.right_shift(TOPu, 2), 3)
         opl = jnp.bitwise_and(TOPl, 3)       # op+1: 0:-1, 1:0, 2:1
         opu = jnp.bitwise_and(TOPu, 3)
 
@@ -183,7 +189,6 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
                           jnp.where(is_col0 & bd_odd, 1, 0))
 
         Hn = jnp.where(computed, Bv, 0)
-        TOPn = jnp.where(computed, TOPn, bd_op)
 
         if stats:
             IAn = jnp.where(is_m, IAd + eqi * PACK + 1,
@@ -193,25 +198,32 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
                             jnp.where(is_i, MGl + PACK + gap_i,
                                       jnp.where(is_d, MGu + PACK + gap_d,
                                                 0)))
+            # traceback start rides TOP's high bits (boundary cells
+            # carry ST=0, so the bd_op fixup below needs no ST term)
             STn = jnp.where(is_star, iv * PACK + jv,
-                            jnp.where(is_m, STd,
-                                      jnp.where(is_i, STl, STu)))
+                            jnp.where(is_m, jnp.right_shift(TOPd, 4),
+                                      jnp.where(is_i,
+                                                jnp.right_shift(TOPl, 4),
+                                                jnp.right_shift(TOPu,
+                                                                4))))
+            TOPn = TOPn + jnp.left_shift(STn, 4)
             bd_MG = bd_aln * PACK + (bd_aln + 1) // 2
             IAn = jnp.where(computed, IAn,
                             jnp.where(is_row0 | is_col0, bd_aln, 0))
             MGn = jnp.where(computed, MGn,
                             jnp.where(is_row0 | is_col0, bd_MG, 0))
-            STn = jnp.where(computed, STn, 0)
         else:
             # score-only prepass: drop the path-statistics carries (the
             # E-value filter needs score/bi/bj alone; full stats are
             # recomputed afterwards for the ~3% of pairs that pass)
             zero = jnp.zeros((NS, B), jnp.int32)
-            IAn = MGn = STn = zero
+            IAn = MGn = zero
+        TOPn = jnp.where(computed, TOPn, bd_op)
 
         if 'nobest' in ablate:           # perf probe: best-cell tracking
-            return (Hn, TOPn, IAn, MGn, STn), best
-        # running best: strictly greater, ties to smallest (i, j).
+            return (Hn, TOPn, IAn, MGn), best
+        # running best: strictly greater, ties to smallest (i, j) — the
+        # packed ij word compares lexicographically (i, j both <= 8191).
         # keys are unique among computed slots (distinct i per slot).
         NEG = jnp.int32(-2 ** 30)
         key = jnp.where(computed, Bv * 8192 - iv, NEG)
@@ -221,19 +233,18 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
         def pick(x):
             return jnp.sum(jnp.where(sel, x, 0), axis=0, keepdims=True)
 
-        Hc, ic, jc = pick(Bv), pick(iv), pick(jv)
-        bH, bi, bj, bIA, bMG, bST = best
+        Hc = pick(Bv)
+        ijc = pick(iv * 8192 + jv)
+        bH, bIJ, bIA, bMG, bTOP = best
         any_c = mkey > NEG
-        better = any_c & ((Hc > bH) | ((Hc == bH) & (Hc > 0) &
-                                       ((ic < bi) | ((ic == bi)
-                                                     & (jc < bj)))))
+        better = any_c & ((Hc > bH) | ((Hc == bH) & (Hc > 0)
+                                       & (ijc < bIJ)))
         nbest = (jnp.where(better, Hc, bH),
-                 jnp.where(better, ic, bi),
-                 jnp.where(better, jc, bj),
+                 jnp.where(better, ijc, bIJ),
                  jnp.where(better, pick(IAn), bIA),
                  jnp.where(better, pick(MGn), bMG),
-                 jnp.where(better, pick(STn), bST))
-        return (Hn, TOPn, IAn, MGn, STn), nbest
+                 jnp.where(better, pick(TOPn), bTOP))
+        return (Hn, TOPn, IAn, MGn), nbest
 
     for lt in range(BLK_T):
         c0w = window(c0_refs, lt + 8)       # same j per slot: shared
@@ -243,18 +254,23 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
         st_m2 = st_odd
         st_m1 = st_even
 
-    for r, v in zip((h1, top1, ia1, mg1, st1), st_m1):
+    for r, v in zip((h1, top1, ia1, mg1), st_m1):
         r[...] = v
-    for r, v in zip((h2, top2, ia2, mg2, st2), st_m2):
+    for r, v in zip((h2, top2, ia2, mg2), st_m2):
         r[...] = v
-    for r, v in zip((besth, besti, bestj, bestia, bestmg, bestst), best):
+    for r, v in zip((besth, bestij, bestia, bestmg, besttop), best):
         r[...] = v
 
     @pl.when(g == pl.num_programs(0) - 1)
     def _fin():
-        for row, v in enumerate(best):
-            out_ref[row:row + 1, :] = v
-        out_ref[6:8, :] = jnp.zeros((2, best[0].shape[1]), jnp.int32)
+        bH, bIJ, bIA, bMG, bTOP = best
+        out_ref[0:1, :] = bH
+        out_ref[1:2, :] = jnp.right_shift(bIJ, 13)
+        out_ref[2:3, :] = jnp.bitwise_and(bIJ, 8191)
+        out_ref[3:4, :] = bIA
+        out_ref[4:5, :] = bMG
+        out_ref[5:6, :] = jnp.right_shift(bTOP, 4)
+        out_ref[6:8, :] = jnp.zeros((2, bH.shape[1]), jnp.int32)
 
 
 def _build_profile(code0: jnp.ndarray) -> jnp.ndarray:
@@ -302,6 +318,8 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
     B, L0 = tok0.shape
     _, L1 = tok1.shape
     assert B % 128 == 0, 'pair count must be a multiple of 128'
+    # packed ST-in-TOP and ij-best words need coords < 8192 (see header)
+    assert L0 <= 8191 and L1 <= 8191, (L0, L1)
 
     nT = (L0 + L1) // 2 + 10
     G = -(-nT // BLK_T)
@@ -358,8 +376,8 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
         out_specs=pl.BlockSpec((8, B), lambda g: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((NS, B), jnp.int32) for _ in range(10)]
-        + [pltpu.VMEM((1, B), jnp.int32) for _ in range(6)],
+        scratch_shapes=[pltpu.VMEM((NS, B), jnp.int32) for _ in range(8)]
+        + [pltpu.VMEM((1, B), jnp.int32) for _ in range(5)],
         interpret=interpret,
     )(arr0, arr0, arr0, arr0, arr1, arr1, arr1, arr1,
       P0, P0, P0, P0, l0v, l1v)

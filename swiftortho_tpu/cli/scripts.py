@@ -160,12 +160,17 @@ def cmd_pan_goterm(argv):
 
 
 def cmd_fsfdp(argv):
-    from ..cluster.fsfdp import fsfdp_groups
+    # default prints one tab-joined group per line (our addition: the
+    # reference exits before its group code, scripts/fsfdp.py:263);
+    # --report emits the reference script's stdout byte-for-byte
+    # (diagnostics + per-node halo/core lines, quirks included).
+    from ..cluster.fsfdp import fsfdp_groups, fsfdp_report
     if not argv:
-        print('usage: fsfdp foo.xyz')
+        print('usage: fsfdp foo.xyz [--report]')
         return 1
+    emit = fsfdp_report if '--report' in argv[1:] else fsfdp_groups
     with open(argv[0]) as fh:
-        for line in fsfdp_groups(fh):
+        for line in emit(fh):
             sys.stdout.write(line)
     return 0
 

@@ -226,3 +226,51 @@ class TestPanGenome:
         with open(mcl) as fh:
             pan_report(db, fh, buf, taxon_order=order)
         assert buf.getvalue() == ref_out
+
+
+class TestFsfdp:
+    """scripts/fsfdp.py stdout — diagnostics + halo/core lines — must be
+    byte-identical, quirks included (the stale `x` in halo lines :259,
+    int-0 border default :258, Neumaier mean() vs plain-fold sd(),
+    destructive rnn drain in the flood :187-205)."""
+
+    def _compare(self, tmp_path, lines):
+        xyz = tmp_path / 't.xyz'
+        xyz.write_text(''.join(lines))
+        ref_out = run_ref('scripts/fsfdp.py', [str(xyz)], cwd=str(tmp_path))
+        ours = run_ours(['swiftortho_tpu.cli.scripts', 'fsfdp', str(xyz),
+                         '--report'], cwd=str(tmp_path))
+        assert ours == ref_out
+        return ref_out
+
+    def test_multicluster_halo_byte_identical(self, tmp_path):
+        lines = []
+        for b in range(3):
+            ns = ['b%d_%d' % (b, i) for i in range(8)]
+            for i in range(8):
+                for j in range(i + 1, 8):
+                    d = 0.1 + 0.01 * ((i * 3 + j * 7 + b) % 11)
+                    lines.append('%s\t%s\t%s\n' % (ns[i], ns[j], d))
+        # cross-blob border edges (z <= dc always: dc is the max distance)
+        lines += ['b0_0\tb1_0\t5.0\n', 'b1_0\tb2_0\t4.5\n',
+                  'b0_3\tb2_5\t6.0\n',
+                  'b0_0\tb0_0\t0.0\n',       # self edge: skipped
+                  'out1\tout2\t3.0\n']       # 2-node satellite component
+        out = self._compare(tmp_path, lines)
+        body = [l for l in out.splitlines() if ' cluster ' in l]
+        assert len(body) > 10 and any(' halo ' in l for l in body)
+        assert len({l.split()[2] for l in body}) >= 2  # >=2 clusters
+
+    def test_single_cluster_int_zero_border(self, tmp_path):
+        # one blob, no cross-cluster edge: bord_rho.get(c, 0) stays the
+        # int default and must print as `0`, not `0.0`
+        lines = []
+        ns = ['n%d' % i for i in range(10)]
+        for i in range(10):
+            for j in range(i + 1, 10):
+                d = 0.2 + 0.01 * ((i + 2 * j) % 7)
+                lines.append('%s\t%s\t%s\n' % (ns[i], ns[j], d))
+        lines.append('n0\tfar\t9.0\n')
+        out = self._compare(tmp_path, lines)
+        body = [l for l in out.splitlines() if ' cluster ' in l]
+        assert body and all(l.split()[4] == '0' for l in body)

@@ -38,10 +38,18 @@ ROW_ALIGN = 128
 # whole table's footprint and roll cost)
 STRIDE_CAP = 4096
 # device-table byte budget (SWIFTORTHO_PACK_CAP overrides): references
-# beyond it get a PARTIAL table — the first cap//stride sequences pack
-# on device, the rest ride the host gather path per pair (the `fits`
-# routing below), so huge references degrade gradually instead of
-# losing the transfer-light path outright
+# beyond it get a PARTIAL table — cap//stride resident rows, the rest
+# ride the host gather path per pair (the `fits` routing below), so huge
+# references degrade gradually instead of losing the transfer-light path
+# outright.  WHICH rows are resident is a hot-set selection: the search
+# driver feeds the first consumable wave's candidate subjects (merged
+# across every reference chunk) to ``maybe_select``, and the table keeps
+# the most-hit subjects.  All-vs-all subject frequency is heavily skewed
+# and stationary across query waves, so one sampled selection + one
+# upload beats any rotation scheme here: re-shipping a multi-GB table
+# through the ~50 MB/s tunnel would cost more than host-gathering the
+# cold tail it displaces.  Until selection happens (or when the table
+# fits whole), residency is the identity prefix [0, n_db).
 TABLE_BYTE_CAP = 2 << 30
 
 
@@ -159,17 +167,53 @@ class DevicePackContext:
         self.stride = stride
         cap = int(os.environ.get('SWIFTORTHO_PACK_CAP',
                                  str(TABLE_BYTE_CAP)))
-        # partial table beyond the byte budget: rows [0, n_db) pack on
-        # device; later subjects fall back per pair via `fits`
+        # partial table beyond the byte budget: n_db resident rows (the
+        # identity prefix until maybe_select swaps in the hot set);
+        # other subjects fall back per pair via `fits`
         self.n_db = min(n, max(cap // stride, 0))
-        self.fits = (lens <= stride) \
-            & (np.arange(n, dtype=np.int64) < self.n_db)
-        self.ok = self.n_db > 0
+        self._lens_ok = lens <= stride
+        # sel[r] = reference sequence id resident in table row r;
+        # row_of[sid] = its row, or -1 (host gather path)
+        self.sel = np.arange(self.n_db, dtype=np.int64)
+        self.row_of = np.full(n, -1, np.int64)
+        self.row_of[:self.n_db] = np.arange(self.n_db)
+        self.fits = self._lens_ok & (self.row_of >= 0)
+        self.selected = self.n_db >= n   # no point re-selecting a
+        self.ok = self.n_db > 0          # table that holds everything
         self.n_total = n
         self.wave_capacity = 0       # driver sets to the wave size so
         self._tab_dev: dict = {}     # mesh-key -> device table
         self._db = db                # kept: tables rebuild per mesh key
         self._wave_cache: list = []  # [(toks_ref, mesh_key, dev, width)]
+
+    def maybe_select(self, subjects: np.ndarray) -> bool:
+        """Hot-set residency for partial tables: the search driver calls
+        this with the first consumable wave's candidate subject ids
+        (merged across every reference chunk, so the sample sees the
+        whole reference).  The n_db most-hit packable subjects become the
+        resident rows (ties broken by id; spare capacity filled with the
+        lowest unseen ids); everything else host-gathers per pair.
+        One-shot by design: subject frequency in all-vs-all search is
+        stationary across query waves, and re-shipping a multi-GB table
+        through a ~50 MB/s tunnel costs more than host-gathering the
+        cold tail.  No-op (returns False) once selected or when the
+        table already holds the whole reference.  Output-neutral: both
+        paths are bit-identical, selection only routes pairs."""
+        if self.selected or not self.ok:
+            return False
+        counts = np.bincount(
+            np.asarray(subjects, dtype=np.int64), minlength=self.n_total)
+        counts[~self._lens_ok] = -1   # overlong rows can never pack
+        order = np.lexsort((np.arange(self.n_total), -counts))
+        sel = order[:self.n_db]
+        sel = np.sort(sel[counts[sel] >= 0])
+        self.sel = sel
+        self.row_of = np.full(self.n_total, -1, np.int64)
+        self.row_of[sel] = np.arange(len(sel))
+        self.fits = self._lens_ok & (self.row_of >= 0)
+        self.selected = True
+        self._tab_dev.clear()         # table rebuilds on next use (same
+        return True                   # n_db-row shape: no recompile)
 
     @staticmethod
     def _mesh():
@@ -194,24 +238,25 @@ class DevicePackContext:
         dev = self._tab_dev.get(key)
         if dev is None:
             db = self._db
-            lens = (db.offsets[1:]
-                    - db.offsets[:-1]).astype(np.int64)[:self.n_db]
+            sel = self.sel
+            # table height is ALWAYS n_db (query rows are addressed as
+            # n_db + qrow and the jit caches key on the shape); rows past
+            # len(sel) stay zero and are never referenced (row_of == -1)
             tab = np.zeros((self.n_db, self.stride), np.uint8)
-            mask = (np.arange(self.stride, dtype=np.int64)[None, :]
-                    < np.minimum(lens, self.stride)[:, None])
-            # db.tokens is the row-major concatenation of the sequences,
-            # so boolean assignment fills each row's prefix in order —
-            # except rows longer than stride, whose tails must be cut
-            if bool((lens <= self.stride).all()):
-                tab[mask] = db.tokens[:int(lens.sum())]
-            else:
-                src = np.concatenate(
-                    [db.tokens[db.offsets[i]:
-                               db.offsets[i] + min(int(lens[i]),
-                                                   self.stride)]
-                     for i in range(self.n_db)]) if self.n_db else \
-                    np.zeros(0, np.uint8)
-                tab[mask] = src
+            if len(sel):
+                starts = db.offsets[sel].astype(np.int64)
+                cl = np.minimum((db.offsets[sel + 1] - starts)
+                                .astype(np.int64), self.stride)
+                mask = np.zeros((self.n_db, self.stride), bool)
+                mask[:len(sel)] = (
+                    np.arange(self.stride, dtype=np.int64)[None, :]
+                    < cl[:, None])
+                # vectorized ragged gather: row r reads
+                # tokens[starts[r] : starts[r] + cl[r]]
+                within = (np.arange(int(cl.sum()), dtype=np.int64)
+                          - np.repeat(np.concatenate(
+                              [[0], np.cumsum(cl)[:-1]]), cl))
+                tab[mask] = db.tokens[np.repeat(starts, cl) + within]
             dev = self._put(tab, mesh)
             self._tab_dev.clear()    # one resident table (mesh is a
             self._tab_dev[key] = dev  # per-run property, never mixed)

@@ -95,11 +95,14 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
 
     pack_on = pack_ctx is not None and pack_ctx.active()
     if pack_on:
+        # first wave with a partial table: pick the hot resident set
+        # from this wave's merged-across-chunks subject sample
+        pack_ctx.maybe_select(subject)
         wave_handle = pack_ctx.wave_table(q_tokens)
 
     def run_bucket_dev(sel, bucket):
         sw = swapped[sel]
-        sid = subject[sel]
+        sid = pack_ctx.row_of[subject[sel]]   # device table rows
         qr = pack_ctx.n_db + qrow[sel]
         q_n = np.minimum(sufq[sel], bucket).astype(np.int64)
         s_n = np.minimum(sufs[sel], bucket).astype(np.int64)

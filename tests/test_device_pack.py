@@ -155,3 +155,85 @@ class TestPackUnderMesh:
         with use_search_mesh(make_mesh()):
             mesh_pack = list(blastp_stream(corpus, corpus, cfg))
         assert mesh_pack == plain
+
+
+class TestHotSetSelection:
+    """Partial tables pick WHICH rows stay resident from the first
+    wave's subject sample (most-hit first) instead of the identity
+    prefix — the cold tail host-gathers, outputs unchanged."""
+
+    def _partial_ctx(self, corpus, monkeypatch, rows):
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', 'force')
+        probe = device_pack.DevicePackContext(corpus)
+        monkeypatch.setenv('SWIFTORTHO_PACK_CAP', str(rows * probe.stride))
+        return device_pack.DevicePackContext(corpus)
+
+    def test_topk_by_count_ties_by_id(self, corpus, monkeypatch):
+        ctx = self._partial_ctx(corpus, monkeypatch, 4)
+        assert ctx.n_db == 4 and not ctx.selected
+        n = len(corpus)
+        # skewed sample: ids n-1, n-2 hot; 5 and 7 lukewarm (tie)
+        sample = np.array([n - 1] * 9 + [n - 2] * 5 + [5, 7, 7, 5])
+        assert ctx.maybe_select(sample)
+        assert ctx.selected
+        np.testing.assert_array_equal(ctx.sel, np.sort([n - 1, n - 2, 5, 7]))
+        assert ctx.fits[[5, 7, n - 2, n - 1]].all()
+        assert not ctx.fits[0] and not ctx.fits[1]
+        # rows map back to the right sequences
+        assert (ctx.row_of[ctx.sel] == np.arange(4)).all()
+        # idempotent
+        assert not ctx.maybe_select(np.array([0, 1, 2]))
+
+    def test_overlong_rows_never_selected(self, corpus, monkeypatch):
+        monkeypatch.setattr(device_pack, 'STRIDE_CAP', 128)
+        ctx = self._partial_ctx(corpus, monkeypatch, 6)
+        long_id = int(np.argmax(corpus.lengths))
+        assert corpus.lengths[long_id] > 128
+        ctx.maybe_select(np.array([long_id] * 50 + [2, 3]))
+        assert long_id not in ctx.sel and not ctx.fits[long_id]
+
+    def test_full_table_never_reselects(self, corpus, monkeypatch):
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', 'force')
+        ctx = device_pack.DevicePackContext(corpus)
+        assert ctx.selected  # whole reference resident
+        assert not ctx.maybe_select(np.array([1, 1, 1]))
+        np.testing.assert_array_equal(ctx.sel, np.arange(len(corpus)))
+
+    def test_selected_table_rows_match_sequences(self, corpus, monkeypatch):
+        ctx = self._partial_ctx(corpus, monkeypatch, 3)
+        n = len(corpus)
+        ctx.maybe_select(np.array([n - 1, n - 1, 4, 4, 4, 9]))
+        tab = np.asarray(ctx._table())
+        assert tab.shape == (3, ctx.stride)
+        for r, sid in enumerate(ctx.sel):
+            s = corpus.tokens[corpus.offsets[sid]:corpus.offsets[sid + 1]]
+            s = s[:ctx.stride]
+            np.testing.assert_array_equal(tab[r, :len(s)], s)
+            assert (tab[r, len(s):] == 0).all()
+
+    def test_partial_with_selection_byte_identical(self, corpus,
+                                                   monkeypatch):
+        """End-to-end: a quarter-size table with hot-set routing must
+        still produce byte-identical rows, and the selection must have
+        actually replaced the identity prefix."""
+        cfg = SearchConfig(**CFG)
+        host = list(blastp_stream(corpus, corpus, cfg))
+        seen = {}
+        orig = device_pack.DevicePackContext.maybe_select
+
+        def spy(self, subjects):
+            r = orig(self, subjects)
+            if r:
+                seen['sel'] = self.sel.copy()
+                seen['n_db'] = self.n_db
+            return r
+
+        monkeypatch.setattr(device_pack.DevicePackContext,
+                            'maybe_select', spy)
+        ctx_probe = device_pack.DevicePackContext(corpus)
+        monkeypatch.setenv('SWIFTORTHO_DEVICE_PACK', 'force')
+        monkeypatch.setenv('SWIFTORTHO_PACK_CAP',
+                           str((len(corpus) // 4) * ctx_probe.stride))
+        packed = list(blastp_stream(corpus, corpus, cfg))
+        assert packed == host
+        assert 'sel' in seen and len(seen['sel']) == seen['n_db']

@@ -77,7 +77,6 @@ def main(argv=None):
             # fleet: rank-split query ranges + rank-0 ordered merge
             # (parallel.distributed); the downstream stages run on rank
             # 0 only — every other rank stops after the search barrier
-            from ..io_fasta import SeqDB
             from ..parallel.distributed import fleet_search_to_file
             db = SeqDB.from_path(fas)
             fleet_search_to_file(db, db, scfg, sc_path)

@@ -21,10 +21,24 @@ TPU-native design notes (all constraints measured on the target chip):
   stat uses raw bytes packed into the same words (packed = raw*32+code).
 - Path statistics are packed two-per-int32 (idy|aln, mis|gap); the
   traceback start (sti|stj, < 2^27) rides the TOP word's 28 spare bits
-  above tr|op (4 bits) — two fewer carry arrays and one fewer best-pick
-  reduce per substep.  Fields are bounded by 4100+4100 < 2**14 per
-  side; the packed layouts require sequence lengths <= 8191 (the
-  long-pair tiler caps sides at 4096 long before that).
+  above tr|op (4 bits) — two fewer carry arrays.  Fields are bounded
+  by 4100+4100 < 2**14 per side; the packed layouts require sequence
+  lengths <= 8191 (the long-pair tiler caps sides at 4096 long before
+  that).
+- Best-cell tracking is PER-SLOT on the compiled path: each of the 16
+  slot rows keeps its own running (H, packed ij, stats) best — two
+  compares + five selects per substep, zero cross-sublane reduces in
+  the hot loop — and ONE cross-slot lexicographic reduce per grid step
+  folds them into the (1, B) running best carried across steps.
+  Measured +7.7% full-stats on chip (1.81e10 vs 1.68e10 cells/s,
+  same-process A/B, bit-identical outputs).  The per-slot select
+  chains explode XLA *CPU* compile time >30x (25 s -> >15 min for the
+  same tiny batch — CPU fusion pathology on the widened live set), so
+  interpret mode keeps the per-substep cross-slot reduce; the two
+  strategies are bit-identical (asserted on chip by tools/ab_kernel.py
+  and guarded every round by bench.py's on-chip C++-oracle parity
+  gate), and the interpret tests pin the per-substep variant to the
+  scan oracle.
 
 Window geometry (kbound=16, slot e in [0,16) of parity p at step t;
 parity-local slot numbering — p=0 slots are shifted one down vs the
@@ -79,7 +93,8 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
             h1, top1, ia1, mg1,
             h2, top2, ia2, mg2,
             besth, bestij, bestia, bestmg, besttop,
-            *, go: int, ge: int, stats: bool = True, ablate: str = ''):
+            *, go: int, ge: int, stats: bool = True, ablate: str = '',
+            per_slot: bool = True):
     g = pl.program_id(0)
     t0 = g * BLK_T
 
@@ -110,8 +125,18 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
 
     st_m1 = (h1[...], top1[...], ia1[...], mg1[...])
     st_m2 = (h2[...], top2[...], ia2[...], mg2[...])
-    best = (besth[...], bestij[...], bestia[...], bestmg[...],
-            besttop[...])
+    if per_slot:
+        # per-slot running best for THIS grid step only (registers,
+        # fresh zeros each step — the cross-step carry is the (1, B)
+        # scratch, merged after the substep unroll)
+        zs = jnp.zeros((NS, B), jnp.int32)
+        best = (zs, zs, zs, zs, zs)
+    else:
+        # interpret mode: (1, B) running best with a per-substep
+        # cross-slot reduce (see header — per-slot select chains are
+        # CPU-compile-pathological)
+        best = (besth[...], bestij[...], bestia[...], bestmg[...],
+                besttop[...])
 
     def substep(p, lt, c0w, p0w, st_m1, st_m2, best):
         t = t0 + lt
@@ -222,9 +247,29 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
 
         if 'nobest' in ablate:           # perf probe: best-cell tracking
             return (Hn, TOPn, IAn, MGn), best
-        # running best: strictly greater, ties to smallest (i, j) — the
-        # packed ij word compares lexicographically (i, j both <= 8191).
-        # keys are unique among computed slots (distinct i per slot).
+        bH, bIJ, bIA, bMG, bTOP = best
+        if per_slot:
+            # PER-SLOT running best (strictly greater, ties to smallest
+            # packed (i, j) word — i, j both <= 8191 so the word
+            # compares lexicographically): no cross-sublane reduces in
+            # the hot loop, just two compares + five selects; the
+            # cross-slot lexicographic reduce happens once per grid
+            # step, after the substep unroll.  A slot only updates at
+            # Bv > 0, so untouched slots stay all-zero and a 0-score
+            # pair reduces to all-zero outputs, exactly like the oracle.
+            ij = iv * 8192 + jv
+            better = computed & ((Bv > bH) | ((Bv == bH) & (Bv > 0)
+                                              & (ij < bIJ)))
+            nbest = (jnp.where(better, Bv, bH),
+                     jnp.where(better, ij, bIJ),
+                     jnp.where(better, IAn, bIA),
+                     jnp.where(better, MGn, bMG),
+                     jnp.where(better, TOPn, bTOP))
+            return (Hn, TOPn, IAn, MGn), nbest
+        # interpret: per-substep cross-slot reduce into the (1, B)
+        # running best — strictly greater, ties to smallest (i, j); the
+        # packed ij word compares lexicographically and keys are unique
+        # among computed slots (distinct i per slot).
         NEG = jnp.int32(-2 ** 30)
         key = jnp.where(computed, Bv * 8192 - iv, NEG)
         mkey = jnp.max(key, axis=0, keepdims=True)
@@ -235,7 +280,6 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
 
         Hc = pick(Bv)
         ijc = pick(iv * 8192 + jv)
-        bH, bIJ, bIA, bMG, bTOP = best
         any_c = mkey > NEG
         better = any_c & ((Hc > bH) | ((Hc == bH) & (Hc > 0)
                                        & (ijc < bIJ)))
@@ -258,19 +302,45 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
         r[...] = v
     for r, v in zip((h2, top2, ia2, mg2), st_m2):
         r[...] = v
-    for r, v in zip((besth, bestij, bestia, bestmg, besttop), best):
-        r[...] = v
+
+    if per_slot:
+        # ONE cross-slot lexicographic (max H, then min packed ij)
+        # reduce of this step's per-slot bests, merged into the (1, B)
+        # running best — per grid step instead of per substep.  (H, ij)
+        # pairs with H > 0 are unique across slots (a matrix cell lives
+        # in exactly one slot), so `sel` picks one slot; a step with no
+        # positive cell leaves every slot pristine (all-zero), mH == 0,
+        # and the merge is a no-op.
+        bH, bIJ, bIA, bMG, bTOP = best
+        mH = jnp.max(bH, axis=0, keepdims=True)
+        mIJ = jnp.min(jnp.where(bH == mH, bIJ, jnp.int32(2 ** 30)),
+                      axis=0, keepdims=True)
+        sel = (bH == mH) & (bIJ == mIJ)
+
+        def pick(x):
+            return jnp.sum(jnp.where(sel, x, 0), axis=0, keepdims=True)
+
+        rH, rIJ = besth[...], bestij[...]
+        upd = (mH > rH) | ((mH == rH) & (mH > 0) & (mIJ < rIJ))
+        besth[...] = jnp.where(upd, mH, rH)
+        bestij[...] = jnp.where(upd, mIJ, rIJ)
+        bestia[...] = jnp.where(upd, pick(bIA), bestia[...])
+        bestmg[...] = jnp.where(upd, pick(bMG), bestmg[...])
+        besttop[...] = jnp.where(upd, pick(bTOP), besttop[...])
+    else:
+        for r, v in zip((besth, bestij, bestia, bestmg, besttop), best):
+            r[...] = v
 
     @pl.when(g == pl.num_programs(0) - 1)
     def _fin():
-        bH, bIJ, bIA, bMG, bTOP = best
-        out_ref[0:1, :] = bH
-        out_ref[1:2, :] = jnp.right_shift(bIJ, 13)
-        out_ref[2:3, :] = jnp.bitwise_and(bIJ, 8191)
-        out_ref[3:4, :] = bIA
-        out_ref[4:5, :] = bMG
-        out_ref[5:6, :] = jnp.right_shift(bTOP, 4)
-        out_ref[6:8, :] = jnp.zeros((2, bH.shape[1]), jnp.int32)
+        ij = bestij[...]
+        out_ref[0:1, :] = besth[...]
+        out_ref[1:2, :] = jnp.right_shift(ij, 13)
+        out_ref[2:3, :] = jnp.bitwise_and(ij, 8191)
+        out_ref[3:4, :] = bestia[...]
+        out_ref[4:5, :] = bestmg[...]
+        out_ref[5:6, :] = jnp.right_shift(besttop[...], 4)
+        out_ref[6:8, :] = jnp.zeros((2, B), jnp.int32)
 
 
 def _build_profile(code0: jnp.ndarray) -> jnp.ndarray:
@@ -364,7 +434,8 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
         l0r, l1r, out = refs[12], refs[13], refs[14]
         scratch = refs[15:]
         _kernel(c0r, c1r, p0r, l0r, l1r, out, *scratch, go=go, ge=ge,
-                stats=not score_only, ablate=ablate)
+                stats=not score_only, ablate=ablate,
+                per_slot=not interpret)
 
     out = pl.pallas_call(
         kern,

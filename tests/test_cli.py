@@ -76,6 +76,24 @@ class TestCliPipeline:
         assert open(sc).read()
 
 
+class TestRunAll:
+    def test_full_pipeline(self, corpus_file, tmp_path):
+        # end-to-end run_all incl. the post-cluster stages (pan-genome,
+        # RBH tree); regression: a fleet-branch local SeqDB import once
+        # shadowed the module-level name and broke stage 4 for every
+        # single-process run (UnboundLocalError)
+        import shutil
+        fas = str(tmp_path / 'ra.fsa')
+        shutil.copy(corpus_file, fas)
+        r = _run(['swiftortho_tpu.cli.run_all', '-i', fas,
+                  '-A', 'mcl', '-M', '262144', '-y', '0'])
+        assert r.returncode == 0, (r.stderr[-800:], r.stdout[-400:])
+        res = fas + '_results'
+        for suffix in ('.sc', '.opc', '.clsr', '.pan', '.nwk'):
+            p = os.path.join(res, 'ra.fsa' + suffix)
+            assert os.path.exists(p) and os.path.getsize(p) > 0, suffix
+
+
 class TestMakedb:
     def test_makedb_then_search(self, corpus_file, tmp_path):
         import shutil

@@ -94,9 +94,9 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
             h2, top2, ia2, mg2,
             besth, bestij, bestia, bestmg, besttop,
             *, go: int, ge: int, stats: bool = True, ablate: str = '',
-            per_slot: bool = True):
+            per_slot: bool = True, blk_t: int = BLK_T):
     g = pl.program_id(0)
-    t0 = g * BLK_T
+    t0 = g * blk_t
 
     @pl.when(g == 0)
     def _init():
@@ -140,7 +140,9 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
 
     def substep(p, lt, c0w, p0w, st_m1, st_m2, best):
         t = t0 + lt
-        c1w = window(c1_refs, 9 - lt - p)
+        # c1 concat row = 2*blk_t - 7 - lt - p + e (block base row
+        # (kb-2-g)*blk_t = K - 2*blk_t - t0; q = K - t0 - lt - 7 - p + e)
+        c1w = window(c1_refs, 2 * blk_t - 7 - lt - p)
 
         c1code = jnp.bitwise_and(c1w, 31)
         # profile channels are packed 8-per-int32 as (value+4) nibbles
@@ -290,7 +292,7 @@ def _kernel(c0_refs, c1_refs, p0_refs, l0_ref, l1_ref, out_ref,
                  jnp.where(better, pick(TOPn), bTOP))
         return (Hn, TOPn, IAn, MGn), nbest
 
-    for lt in range(BLK_T):
+    for lt in range(blk_t):
         c0w = window(c0_refs, lt + 8)       # same j per slot: shared
         p0w = window(p0_refs, lt + 8)       # across both parities
         st_odd, best = substep(0, lt, c0w, p0w, st_m1, st_m2, best)
@@ -376,36 +378,45 @@ def _encode(tok):
 
 
 @functools.partial(jax.jit, static_argnames=('go', 'ge', 'interpret',
-                                             'score_only', 'ablate'))
+                                             'score_only', 'ablate',
+                                             'blk_t'))
 def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
                           len0: jnp.ndarray, len1: jnp.ndarray,
                           go: int = GAP_OPEN, ge: int = GAP_EXTEND,
                           interpret: bool = False,
                           score_only: bool = False,
-                          ablate: str = '') -> dict:
+                          ablate: str = '',
+                          blk_t: int = BLK_T) -> dict:
     """Drop-in for sw_align_batch (kbound fixed at 16). tok* are (B, L)
-    uint8 padded batches; returns the same (B,) int32 result arrays."""
+    uint8 padded batches; returns the same (B,) int32 result arrays.
+
+    blk_t: anti-diagonal steps per grid step (>= 8; default BLK_T = 8,
+    the measured optimum).  Larger values amortize the per-grid-step
+    scratch read/write and best merge over more substeps at the cost of
+    a longer unroll; the geometry is blk_t-generic (see the window
+    comments)."""
     B, L0 = tok0.shape
     _, L1 = tok1.shape
     assert B % 128 == 0, 'pair count must be a multiple of 128'
     # packed ST-in-TOP and ij-best words need coords < 8192 (see header)
     assert L0 <= 8191 and L1 <= 8191, (L0, L1)
 
+    assert blk_t >= 8 and blk_t % 8 == 0, blk_t
     nT = (L0 + L1) // 2 + 10
-    G = -(-nT // BLK_T)
+    G = -(-nT // blk_t)
     # K must keep the reversed-array placement start (K - L1 + 1) >= 0 AND
     # the descending block maps (kb - 2 - g) >= 0 for all grid steps.
-    K = max((G + 3) * BLK_T, -(-(L1 + 8) // BLK_T) * BLK_T)
-    kb = K // BLK_T
+    K = max((G + 3) * blk_t, -(-(L1 + 8) // blk_t) * blk_t)
+    kb = K // blk_t
 
     pk0 = _encode(tok0).T                # (L0, B)
     pk1 = _encode(tok1).T                # (L1, B)
 
-    len_arr0 = (G + 4) * BLK_T + 48
+    len_arr0 = (G + 4) * blk_t + 48
     arr0 = jnp.zeros((len_arr0, B), jnp.int32)
     arr0 = jax.lax.dynamic_update_slice(arr0, pk0, (16, 0))
 
-    len_arr1 = K + 48
+    len_arr1 = K + 2 * blk_t + 32
     arr1 = jnp.zeros((len_arr1, B), jnp.int32)
     # arr1[q] = pk1[K - q]  =>  arr1[K-L1 .. K-1] = flip(pk1)... q such
     # that K - q in [0, L1) => q in (K-L1, K]; row q = K - l1pos.
@@ -418,12 +429,12 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
     l0v = len0.astype(jnp.int32).reshape(1, B)
     l1v = len1.astype(jnp.int32).reshape(1, B)
 
-    c0_specs = [pl.BlockSpec((BLK_T, B), (lambda s: (lambda g: (g + s, 0)))(s),
+    c0_specs = [pl.BlockSpec((blk_t, B), (lambda s: (lambda g: (g + s, 0)))(s),
                              memory_space=pltpu.VMEM) for s in range(4)]
-    c1_specs = [pl.BlockSpec((BLK_T, B),
+    c1_specs = [pl.BlockSpec((blk_t, B),
                              (lambda s: (lambda g: (kb - 2 - g + s, 0)))(s),
                              memory_space=pltpu.VMEM) for s in range(4)]
-    p0_specs = [pl.BlockSpec((BLK_T, NW, B),
+    p0_specs = [pl.BlockSpec((blk_t, NW, B),
                              (lambda s: (lambda g: (g + s, 0, 0)))(s),
                              memory_space=pltpu.VMEM) for s in range(4)]
 
@@ -435,7 +446,7 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
         scratch = refs[15:]
         _kernel(c0r, c1r, p0r, l0r, l1r, out, *scratch, go=go, ge=ge,
                 stats=not score_only, ablate=ablate,
-                per_slot=not interpret)
+                per_slot=not interpret, blk_t=blk_t)
 
     out = pl.pallas_call(
         kern,

@@ -60,26 +60,53 @@ def main(argv=None):
         log_event('search', skipped=True)
     elif args.get('-z') == 'fast':
         # run_all_fast variant (scripts/run_all_fast.py): collapse exact
-        # duplicates, search the nr set, re-expand the hit table
+        # duplicates, search the nr set, re-expand the hit table.  In a
+        # fleet, only rank 0 writes the shared nr fasta and the expanded
+        # table (concurrent same-path writes would corrupt them); the nr
+        # search itself is rank-split like the plain branch.
+        import jax
         from ..analysis.misc import nr_collapse, nr_expand
         from ..io_fasta import iter_fasta, write_fasta
         nr_path = '%s/%s.nr.fsa' % (res, sfx)
-        with open(fas) as fh:
-            write_fasta(nr_path, list(nr_collapse(iter_fasta(fh))))
+        fleet = jax.process_count() > 1
+        if not fleet or jax.process_index() == 0:
+            with open(fas) as fh:
+                write_fasta(nr_path, list(nr_collapse(iter_fasta(fh))))
         nr_sc = '%s/%s.nr.sc' % (res, sfx)
-        blastp_to_file(nr_path, nr_path, nr_sc, scfg)
-        with open(nr_sc) as fh, open(sc_path, 'w') as out:
-            for line in nr_expand(fh):
-                out.write(line)
+        if fleet:
+            from ..parallel.distributed import (barrier,
+                                                fleet_search_to_file)
+            barrier('swiftortho_runall_nr')
+            db = SeqDB.from_path(nr_path)
+            fleet_search_to_file(db, db, scfg, nr_sc)
+        else:
+            blastp_to_file(nr_path, nr_path, nr_sc, scfg)
+        if not fleet or jax.process_index() == 0:
+            with open(nr_sc) as fh, open(sc_path, 'w') as out:
+                for line in nr_expand(fh):
+                    out.write(line)
     else:
         import jax
         if jax.process_count() > 1:
             # fleet: rank-split query ranges + rank-0 ordered merge
             # (parallel.distributed); the downstream stages run on rank
-            # 0 only — every other rank stops after the search barrier
-            from ..parallel.distributed import fleet_search_to_file
+            # 0 only — every other rank stops after the search barrier.
+            # Rank 0 builds the chunk indexes ONCE (one-chunk-resident,
+            # persisted like `-p makedb`) so the N ranks stream a shared
+            # prebuilt db instead of each rebuilding every chunk — the
+            # reference's formatdb-then-fan-out (find_hit.py:282-283).
+            from ..parallel.distributed import (barrier,
+                                                fleet_search_to_file)
             db = SeqDB.from_path(fas)
-            fleet_search_to_file(db, db, scfg, sc_path)
+            db_prefix = '%s/%s.fleetdb' % (res, sfx)
+            if jax.process_index() == 0:
+                from ..ops.index import save_index
+                from ..search.blastp import IndexSource
+                for ci, ix in enumerate(IndexSource.from_build(db, scfg)):
+                    save_index('%s.%d.npz' % (db_prefix, ci), ix)
+            barrier('swiftortho_runall_db')
+            fleet_search_to_file(db, db, scfg, sc_path,
+                                 db_prefix=db_prefix)
         else:
             from ..parallel.distributed import search_mesh_context
             with search_mesh_context():

@@ -43,7 +43,11 @@ def _fsfdp_state(lines: Iterable[str]) -> dict:
     w: List[float] = []
     last_x = ''
     for line in lines:
-        f = line.rstrip('\n').split('\t')
+        # reference :227 does i[:-1].split('\t') — it UNCONDITIONALLY
+        # drops the last character, so a final line with no trailing
+        # newline loses its last data byte (e.g. z '0.35' parses as
+        # '0.3').  Quirks are the spec: replicate exactly.
+        f = line[:-1].split('\t')
         if len(f) < 3:
             continue
         # reference :227 assigns x before the x==y skip, so the stale

@@ -258,8 +258,12 @@ class DevicePackContext:
                               [[0], np.cumsum(cl)[:-1]]), cl))
                 tab[mask] = db.tokens[np.repeat(starts, cl) + within]
             dev = self._put(tab, mesh)
-            self._tab_dev.clear()    # one resident table (mesh is a
-            self._tab_dev[key] = dev  # per-run property, never mixed)
+            # keep BOTH keys resident (None + the one active mesh): on
+            # >128-device meshes the per-wave npow divisibility fallback
+            # alternates mesh <-> None, and a clear() here would re-ship
+            # the multi-GB table through the tunnel on every flip.  The
+            # key space is bounded at 2 — mesh is a per-run property.
+            self._tab_dev[key] = dev
         return dev
 
     def wave_table(self, toks: np.ndarray):

@@ -335,7 +335,19 @@ def _stage2_expand_chain(buckets, kept, counts, q_tokens, q_lengths,
 _DB_CACHE: dict = {}
 
 
-def _device_db(db: SeqDB):
+def _device_db(db: SeqDB, device=None):
+    """db token slab on device.  Default placement holds ONE slab; an
+    explicit multidb shard device caches per device.id on the db object
+    (shards share the token array; only the CSR is per-shard)."""
+    if device is not None:
+        cache = getattr(db, '_multidb_tok', {})
+        ent = cache.get(device.id)
+        if ent is None:
+            ent = (jax.device_put(db.tokens, device),
+                   jax.device_put(db.offsets.astype(np.int64), device))
+            cache[device.id] = ent
+            db._multidb_tok = cache
+        return ent
     key = id(db)
     ent = _DB_CACHE.get(key)
     if ent is None or ent[0]() is None:
@@ -348,7 +360,18 @@ def _device_db(db: SeqDB):
     return ent[1], ent[2]
 
 
-def _device_index(index: SeedIndex):
+def _device_index(index: SeedIndex, device=None):
+    """CSR arrays on device (cached on the index; per device.id when an
+    explicit multidb shard device is given)."""
+    if device is not None:
+        key = getattr(index, '_multidb_dev', None)
+        if key is not None and key[0] == device.id:
+            return key[1]
+        arrs = tuple(jax.device_put(a, device) for a in (
+            index.start.astype(np.int32), index.sid.astype(np.int32),
+            index.sst.astype(np.int32)))
+        index._multidb_dev = (device.id, arrs)
+        return arrs
     dev = getattr(index, '_device_arrays', None)
     if dev is None:
         dev = (jnp.asarray(index.start.astype(np.int32)),
@@ -373,11 +396,16 @@ def device_path_supported(q_tokens: np.ndarray, db: SeqDB,
 
 def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
                                db: SeqDB, index: SeedIndex,
-                               alphabets: list, ssps: str) -> Candidates:
+                               alphabets: list, ssps: str,
+                               device=None) -> Candidates:
     """Drop-in device-path replacement for
     ``candidates.generate_candidates`` — identical results (enforced by
     tests/test_device_candidates.py).  Falls back to the host path when
-    the packed-key ranges don't hold (see device_path_supported)."""
+    the packed-key ranges don't hold (see device_path_supported).
+
+    ``device``: pin every array (and therefore the jitted stage-1/2
+    programs) to one explicit device — the multidb per-shard fan-out
+    (candidates_multidb); default placement otherwise."""
     if not device_path_supported(q_tokens, db, index):
         from .candidates import generate_candidates
         return generate_candidates(q_tokens, q_lengths, db, index,
@@ -401,12 +429,21 @@ def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
     B, L = q_tokens.shape
     streams = _patterns_static(tuple(alphabets), ssps)
     tbls = _tables(tuple(alphabets))
+    if device is not None:
+        tbls = jax.device_put(tbls, device)
+
+    def put(a):
+        return jnp.asarray(a) if device is None \
+            else jax.device_put(a, device)
+
     with jax.enable_x64(True):
-        start_i32, sid_i32, sst_i32 = _device_index(index)
+        start_i32, sid_i32, sst_i32 = _device_index(index, device)
+        q_dev = put(q_tokens)
+        qlen_dev = put(q_lengths.astype(np.int32))
         buckets, kept, counts, total = _stage1_seeds(
-            jnp.asarray(q_tokens), jnp.asarray(q_lengths.astype(np.int32)),
+            q_dev, qlen_dev,
             tbls, start_i32, jnp.uint32(index.nc),
-            jnp.asarray(index.threshold, jnp.int64), streams)
+            put(np.int64(index.threshold)), streams)
         row_tot = np.asarray(jnp.sum(counts, axis=(0, 2))).astype(np.int64)
         total_i = int(row_tot.sum())
         if total_i == 0:
@@ -454,9 +491,7 @@ def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
             log_event('device_candidates_chunked', blocks=len(blocks),
                       postings=total_i, cap=cap)
 
-        db_tokens, db_offsets = _device_db(db)
-        q_dev = jnp.asarray(q_tokens)
-        qlen_dev = jnp.asarray(q_lengths.astype(np.int32))
+        db_tokens, db_offsets = _device_db(db, device)
         parts = []
         for (blo, bhi) in blocks:
             btot = int(row_tot[blo:bhi].sum())
@@ -481,7 +516,7 @@ def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
                     rows(buckets), rows(kept), rows(counts),
                     rows(q_dev), rows(qlen_dev),
                     start_i32, sid_i32, sst_i32, db_tokens, db_offsets,
-                    jnp.asarray(btot, jnp.int64), C=C, L=L, W=L + 1)
+                    put(np.int64(btot)), C=C, L=L, W=L + 1)
             ng = int(n_groups)
             parts.append((
                 np.asarray(g_qrow[:ng]).astype(np.int64) + blo,

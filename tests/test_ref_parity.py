@@ -274,3 +274,12 @@ class TestFsfdp:
         out = self._compare(tmp_path, lines)
         body = [l for l in out.splitlines() if ' cluster ' in l]
         assert body and all(l.split()[4] == '0' for l in body)
+
+    def test_no_trailing_newline_last_byte_quirk(self, tmp_path):
+        # the reference parses every line as i[:-1].split('\t') — a final
+        # line with NO trailing newline loses its last data byte (z
+        # '0.35' reads as '0.3', scripts/fsfdp.py:227); quirks are the
+        # spec, so the mangled parse must be replicated byte-for-byte
+        lines = ['a\tb\t0.2\n', 'b\tc\t0.25\n', 'a\tc\t0.22\n',
+                 'c\td\t0.35']          # no trailing \n
+        self._compare(tmp_path, lines)

@@ -100,6 +100,13 @@ def main(argv=None):
             db = SeqDB.from_path(fas)
             db_prefix = '%s/%s.fleetdb' % (res, sfx)
             if jax.process_index() == 0:
+                # drop stale chunk files first: IndexSource.from_disk
+                # globs 'prefix.*.npz', so leftovers from a previous run
+                # with more chunks would be loaded alongside the fresh
+                # ones and corrupt the hit table
+                import glob as _glob
+                for stale in _glob.glob('%s.*.npz' % db_prefix):
+                    os.remove(stale)
                 from ..ops.index import save_index
                 from ..search.blastp import IndexSource
                 for ci, ix in enumerate(IndexSource.from_build(db, scfg)):

@@ -107,7 +107,11 @@ def _expand_sharded_fn(mesh):
     move in the last ulp — covered by the module's named float caveat
     (partitions are compared, not floats; enforced at 8 devices by
     tests/test_mcl_blocksparse.py)."""
-    key = id(mesh)
+    # key on device ids + axis names, not id(mesh): callers construct a
+    # fresh (but equal) Mesh per component, and a GC'd mesh's id could
+    # alias a later different mesh's entry
+    key = (tuple(d.id for d in np.asarray(mesh.devices).flat),
+           tuple(mesh.axis_names))
     fn = _EXPAND_SHARDED_CACHE.get(key)
     if fn is not None:
         return fn

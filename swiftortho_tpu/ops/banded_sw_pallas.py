@@ -379,14 +379,15 @@ def _encode(tok):
 
 @functools.partial(jax.jit, static_argnames=('go', 'ge', 'interpret',
                                              'score_only', 'ablate',
-                                             'blk_t'))
+                                             'blk_t', 'per_slot'))
 def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
                           len0: jnp.ndarray, len1: jnp.ndarray,
                           go: int = GAP_OPEN, ge: int = GAP_EXTEND,
                           interpret: bool = False,
                           score_only: bool = False,
                           ablate: str = '',
-                          blk_t: int = BLK_T) -> dict:
+                          blk_t: int = BLK_T,
+                          per_slot: bool | None = None) -> dict:
     """Drop-in for sw_align_batch (kbound fixed at 16). tok* are (B, L)
     uint8 padded batches; returns the same (B,) int32 result arrays.
 
@@ -394,7 +395,12 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
     the measured optimum).  Larger values amortize the per-grid-step
     scratch read/write and best merge over more substeps at the cost of
     a longer unroll; the geometry is blk_t-generic (see the window
-    comments)."""
+    comments).
+
+    per_slot: best-tracking strategy override (default None = compiled
+    path per-slot, interpret per-substep — see header).  Tests force
+    per_slot=True on a tiny interpret batch so the production branch is
+    exercised off-chip too (ADVICE r3)."""
     B, L0 = tok0.shape
     _, L1 = tok1.shape
     assert B % 128 == 0, 'pair count must be a multiple of 128'
@@ -446,7 +452,8 @@ def sw_align_batch_pallas(tok0: jnp.ndarray, tok1: jnp.ndarray,
         scratch = refs[15:]
         _kernel(c0r, c1r, p0r, l0r, l1r, out, *scratch, go=go, ge=ge,
                 stats=not score_only, ablate=ablate,
-                per_slot=not interpret, blk_t=blk_t)
+                per_slot=(not interpret if per_slot is None else per_slot),
+                blk_t=blk_t)
 
     out = pl.pallas_call(
         kern,

@@ -117,6 +117,16 @@ def _packed_align(db_table, q_table, i0, o0, n0, i1, o1, n1,
 _packed_align_jits: dict = {}
 
 
+def _mesh_key(mesh):
+    """Stable cache key for a mesh: device ids + axis names.  id(mesh)
+    would miss for every freshly-constructed (but equal) Mesh and could
+    alias a GC'd mesh's id to a later different mesh."""
+    if mesh is None:
+        return None
+    return (tuple(d.id for d in np.asarray(mesh.devices).flat),
+            tuple(mesh.axis_names))
+
+
 def _get_packed_align(mesh=None):
     """The jitted packed-align entry: single-device by default; with an
     active search mesh, a sharded variant — token tables replicated over
@@ -126,7 +136,7 @@ def _get_packed_align(mesh=None):
     item 3): the only per-wave device traffic is the scalar index
     vectors, exactly as on one chip."""
     import jax
-    key = None if mesh is None else id(mesh)
+    key = _mesh_key(mesh)
     fn = _packed_align_jits.get(key)
     if fn is None:
         # statics positionally (argnums): pjit with in_shardings
@@ -234,7 +244,7 @@ class DevicePackContext:
         return jax.device_put(arr, NamedSharding(mesh, P()))
 
     def _table(self, mesh=None):
-        key = None if mesh is None else id(mesh)
+        key = _mesh_key(mesh)
         dev = self._tab_dev.get(key)
         if dev is None:
             db = self._db
@@ -272,7 +282,7 @@ class DevicePackContext:
         references, so ids stay valid); a few entries are retained so
         pipelined waves don't evict each other."""
         mesh = self._mesh()
-        mkey = None if mesh is None else id(mesh)
+        mkey = _mesh_key(mesh)
         for ref, mk, dev, width in self._wave_cache:
             if ref is toks and mk == mkey:
                 return dev, width

@@ -11,7 +11,13 @@ order-dependent artifacts (the running 2nd-max is never demoted when a new
 max arrives, and the max registers persist across iterations,
 find_cluster.py:538-552).  We compute the exact per-iteration row max and
 runner-up — the textbook update the reference approximates — so cluster
-assignments can differ on near-tie margins.
+assignments can differ on near-tie margins.  Measured on the shared
+parity corpus (4 taxa x 40 families, tests/test_ref_parity.py): 37/40
+reference groups identical (92.5%); the textbook max splits the other 3
+into finer subsets.  ``apc_cluster_faithful`` (opt-in:
+``SWIFTORTHO_APC_FAITHFUL=1`` or ClusterConfig.faithful) replicates the
+reference's streaming quirks bit-for-bit instead — partition-identical to
+the runnable reference, enforced by TestFindClusterAPC.
 """
 
 from __future__ import annotations
@@ -243,6 +249,126 @@ def apc_cluster_blocked(n: int, ei: np.ndarray, ej: np.ndarray,
             if mconv > convit:
                 break
 
+    labels = connected_components(n, np.arange(n), lab)
+    out: List[List[int]] = []
+    order = np.argsort(labels, kind='stable')
+    bounds = np.searchsorted(labels[order], np.arange(labels.max() + 2))
+    for c in range(labels.max() + 1):
+        out.append(sorted(int(x) for x in order[bounds[c]:bounds[c + 1]]))
+    out.sort(key=lambda cl: cl[0])
+    return out
+
+
+def _apclust_ref_py(ei: np.ndarray, ek: np.ndarray, s: np.ndarray,
+                    n_nodes: int, damp: float = 0.5,
+                    itr: int = 100) -> np.ndarray:
+    """Pure-Python fallback of native/apclust.cpp apclust_ref — the same
+    streaming emulation of the reference apclust_blk (find_cluster.py:
+    406-513): never-reset/never-demoted row-max registers, float64 math
+    with float32 R/A stores per pass, dead convergence check (full itr
+    iterations), streaming exemplar updates."""
+    beta = 1.0 - damp
+    nr = len(ei)
+    s64 = s.astype(np.float32).astype(np.float64)
+    R = np.zeros(nr, np.float32)
+    A = np.zeros(nr, np.float32)
+    diag = np.zeros((n_nodes, 6))
+    lab = np.arange(n_nodes, dtype=np.int64)
+    eil = ei.tolist()
+    ekl = ek.tolist()
+    sl = s64.tolist()
+    labl = lab.tolist()
+    for _ in range(itr):
+        Rl = R.astype(np.float64).tolist()
+        Al = A.astype(np.float64).tolist()
+        d0 = diag[:, 0].tolist(); d1 = diag[:, 1].tolist()
+        d2 = diag[:, 2].tolist(); d3 = diag[:, 3].tolist()
+        d5 = diag[:, 5].tolist()
+        for n_ in range(nr):
+            i = eil[n_]
+            ra = Rl[n_] + Al[n_]
+            if d0[i] < ra:
+                d0[i] = ra
+                d1[i] = float(ekl[n_])
+            elif d2[i] < ra:
+                d2[i] = ra
+                d3[i] = float(ekl[n_])
+        for n_ in range(nr):
+            i, k = eil[n_], ekl[n_]
+            r = sl[n_] - (d0[i] if float(k) != d1[i] else d2[i])
+            r3 = Rl[n_] * damp + beta * r
+            if i == k:
+                d5[i] = r3
+            Rl[n_] = r3
+        R = np.asarray(Rl, np.float32)         # float32 store per pass
+        Rl = R.astype(np.float64).tolist()
+        d4 = [0.0] * n_nodes
+        for n_ in range(nr):
+            if eil[n_] != ekl[n_]:
+                r = Rl[n_]
+                if r > 0.0:
+                    d4[ekl[n_]] += r
+        for n_ in range(nr):
+            i, k = eil[n_], ekl[n_]
+            a4 = Al[n_] * damp
+            if i != k:
+                a4 += beta * min(0.0, d5[k] + d4[k] - max(0.0, Rl[n_]))
+            else:
+                a4 += beta * d4[k]
+            Al[n_] = a4
+        A = np.asarray(Al, np.float32)
+        Al = A.astype(np.float64).tolist()
+        ras = [float('-inf')] * n_nodes
+        for n_ in range(nr):
+            i = eil[n_]
+            ra = Rl[n_] + Al[n_]
+            if ras[i] < ra:
+                ras[i] = ra
+                if labl[i] != ekl[n_]:
+                    labl[i] = ekl[n_]
+        diag[:, 0] = d0; diag[:, 1] = d1; diag[:, 2] = d2
+        diag[:, 3] = d3; diag[:, 4] = d4; diag[:, 5] = d5
+    return np.asarray(labl, np.int64)
+
+
+def apc_cluster_faithful(n: int, ei: np.ndarray, ej: np.ndarray,
+                         w: np.ndarray, n_taxa: int, damp: float = 0.5,
+                         itr: int = 100) -> List[List[int]]:
+    """Reference-faithful AP: identical partitions to the runnable
+    reference `find_cluster.py -a apc` (apclust_blk path, the -b default).
+
+    Row order matters (the streaming quirks are order-dependent), so the
+    caller must pass edges in input-line order WITH duplicates retained;
+    this builds the fc2mat row stream — (x, y), (y, x) interleaved per
+    line, then the n preference diagonal rows (find_cluster.py:806-848) —
+    and runs the streaming kernel (native C++, pure-Python fallback,
+    bit-identical; pinned by tests/test_fallbacks.py)."""
+    if n == 0:
+        return []
+    # zero edges still cluster: every node gets its preference diagonal
+    # row and becomes its own exemplar (singletons), like the reference
+    pref = np.float32(-20.0 * n_taxa)
+    i_all = np.empty(2 * len(ei) + n, np.int64)
+    k_all = np.empty_like(i_all)
+    s_all = np.empty(len(i_all), np.float32)
+    i_all[0:2 * len(ei):2] = ei
+    k_all[0:2 * len(ei):2] = ej
+    i_all[1:2 * len(ei):2] = ej
+    k_all[1:2 * len(ei):2] = ei
+    s_all[0:2 * len(ei):2] = w
+    s_all[1:2 * len(ei):2] = w
+    i_all[2 * len(ei):] = np.arange(n)
+    k_all[2 * len(ei):] = np.arange(n)
+    s_all[2 * len(ei):] = pref
+    try:
+        from ..native import apclust_ref_native
+        lab = apclust_ref_native(i_all, k_all, s_all, n, damp=damp,
+                                 itr=itr)
+    except Exception:
+        from ..utils import warn_fallback
+        warn_fallback('apclust_ref',
+                      'native .so unavailable; pure-Python streaming AP')
+        lab = _apclust_ref_py(i_all, k_all, s_all, n, damp=damp, itr=itr)
     labels = connected_components(n, np.arange(n), lab)
     out: List[List[int]] = []
     order = np.argsort(labels, kind='stable')

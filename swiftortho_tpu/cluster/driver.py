@@ -68,9 +68,66 @@ def parse_graph(lines: Iterable[str], sep: str = '|'):
             np.asarray(wt, np.float64), len(taxa))
 
 
+def parse_graph_ordered(lines: Iterable[str], sep: str = '|'):
+    """fc2mat-exact parse for the faithful APC mode (find_cluster.py:
+    767-848): edges in input-line order WITH duplicates retained (fc2mat
+    writes every surviving line to the .npy), node ids assigned in
+    first-seen order BEFORE the weight parse (an unparsable-z line still
+    registers its nodes), and every line read as ``i[:-1]`` — a final
+    line without a trailing newline loses its last byte, exactly like
+    the reference (and scripts/fsfdp.py:227)."""
+    l2n = {}
+    names: List[str] = []
+    ei: List[int] = []
+    ej: List[int] = []
+    wt: List[float] = []
+    for line in lines:
+        f = line[:-1].split('\t')
+        if len(f) == 4:
+            x, y, z = f[1], f[2], f[3]
+        elif len(f) >= 3:
+            x, y, z = f[0], f[1], f[2]
+        else:
+            continue
+        if x > y:
+            continue
+        for t in (x, y):
+            if t not in l2n:
+                l2n[t] = len(names)
+                names.append(t)
+        try:
+            zf = float(z)
+        except ValueError:
+            z2 = z.split('rm')[0]           # reference's salvage (:800-804)
+            try:
+                zf = float(z2)
+            except ValueError:
+                continue
+        ei.append(l2n[x])
+        ej.append(l2n[y])
+        wt.append(zf)
+    taxa = {t.split(sep)[0] for t in names}
+    return (names, np.asarray(ei, np.int64), np.asarray(ej, np.int64),
+            np.asarray(wt, np.float64), len(taxa))
+
+
 def find_cluster_stream(lines: Iterable[str],
                         cfg: ClusterConfig | None = None) -> Iterator[str]:
+    import os
+
     cfg = cfg or ClusterConfig()
+    faithful = cfg.faithful or (
+        os.environ.get('SWIFTORTHO_APC_FAITHFUL', '') not in ('', '0'))
+    if faithful and cfg.algorithm in ('apc', 'sap'):
+        from .apc import apc_cluster_faithful
+        names, ei, ej, w, n_taxa = parse_graph_ordered(lines)
+        if len(names) == 0:
+            return
+        clusters = apc_cluster_faithful(len(names), ei, ej, w, n_taxa,
+                                        damp=cfg.damping)
+        for cl in clusters:
+            yield '\t'.join(names[i] for i in cl) + '\n'
+        return
     names, ei, ej, w, n_taxa = parse_graph(lines)
     n = len(names)
     if n == 0:

@@ -71,6 +71,10 @@ class ClusterConfig:
     component_batch: int = 10**7  # -b max edges per MCL sub-problem
     max_dense: int = 4096         # dense-MCL component size cap (ours)
     ckpt_dir: str | None = None   # resumable-MCL checkpoint dir (ours)
+    # opt-in: replicate the reference APC's order-dependent streaming-max
+    # quirks bit-for-bit (cluster/apc.apc_cluster_faithful) instead of
+    # the textbook exact row max; also via SWIFTORTHO_APC_FAITHFUL=1
+    faithful: bool = False
 
 
 @dataclass

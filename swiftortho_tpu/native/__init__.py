@@ -29,7 +29,7 @@ _lib = None
 
 
 _SOURCES = ('banded_sw.cpp', 'chain.cpp', 'groupby.cpp', 'seg.cpp',
-            'fmtrows.cpp')
+            'fmtrows.cpp', 'apclust.cpp')
 _FLAG_SETS = (['-O3', '-march=native'], ['-O3'])
 
 
@@ -129,6 +129,11 @@ def load() -> ctypes.CDLL:
             i64p, ctypes.c_int64, ctypes.c_double,
             ctypes.POINTER(ctypes.c_uint8)]
         lib.seg_batch.restype = None
+        lib.apclust_ref.argtypes = [
+            i64p, i64p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int32, i64p]
+        lib.apclust_ref.restype = None
         lib.rank_cut.argtypes = [
             i64p, i64p, i64p, i64p, i64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -487,6 +492,25 @@ def decode_locus_native(soas: np.ndarray, loc: np.ndarray):
         loc.ctypes.data_as(i64p), len(loc),
         sid.ctypes.data_as(i32p), sst.ctypes.data_as(i32p))
     return sid, sst
+
+
+def apclust_ref_native(ei: np.ndarray, ek: np.ndarray, s: np.ndarray,
+                       n_nodes: int, damp: float = 0.5,
+                       itr: int = 100) -> np.ndarray:
+    """Reference-faithful streaming AP labels (see native/apclust.cpp for
+    the emulated quirks; contract bin/find_cluster.py:406-513)."""
+    lib = load()
+    ei = np.ascontiguousarray(ei, np.int64)
+    ek = np.ascontiguousarray(ek, np.int64)
+    s = np.ascontiguousarray(s, np.float32)
+    lab = np.empty(n_nodes, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.apclust_ref(
+        ei.ctypes.data_as(i64p), ek.ctypes.data_as(i64p),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(ei), int(n_nodes), float(damp), int(itr),
+        lab.ctypes.data_as(i64p))
+    return lab
 
 
 def gather_rows_native(src: np.ndarray, starts: np.ndarray,

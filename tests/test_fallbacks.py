@@ -120,3 +120,29 @@ def test_format_rows_fallback_identical(monkeypatch):
     monkeypatch.setattr(native, 'rank_cut_native', boom)
     rows_py = list(blastp_stream(db, db, cfg))
     assert rows_native == rows_py and len(rows_native) > 0
+
+
+def test_apclust_ref_fallback_bit_identical():
+    """native/apclust.cpp vs the pure-Python streaming emulation: the
+    label vectors must match exactly (both replicate the reference's
+    order-dependent quirks, so any divergence is a bug in one of them)."""
+    from swiftortho_tpu.cluster.apc import _apclust_ref_py
+
+    rng = np.random.default_rng(11)
+    n = 50
+    ne = 180
+    a = rng.integers(0, n, ne)
+    b = rng.integers(0, n, ne)
+    w = rng.uniform(0.1, 3.0, ne).astype(np.float32)
+    # fc2mat row stream: interleaved directions + diagonal preference
+    i_all = np.concatenate([np.stack([a, b], 1).reshape(-1),
+                            np.arange(n)]).astype(np.int64)
+    k_all = np.concatenate([np.stack([b, a], 1).reshape(-1),
+                            np.arange(n)]).astype(np.int64)
+    s_all = np.concatenate([np.repeat(w, 2),
+                            np.full(n, -80.0, np.float32)]).astype(
+        np.float32)
+    lab_c = native.apclust_ref_native(i_all, k_all, s_all, n, damp=0.5,
+                                      itr=40)
+    lab_py = _apclust_ref_py(i_all, k_all, s_all, n, damp=0.5, itr=40)
+    assert np.array_equal(lab_c, lab_py)

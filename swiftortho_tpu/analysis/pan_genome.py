@@ -153,10 +153,81 @@ def fit_curve(f, X, Y, alpha=0.05, bounds=None):
     return pars, conf
 
 
+_RCMD = '''#!usr/bin/env Rscript
+dat<-read.delim('{fname}', sep='\\t', header=F)
+
+end = {end}
+y = dat$V2
+x = dat$V1
+
+# core genes
+a = {a0_}
+b = {b0_}
+c = {c0_}
+fc <- function(n)(a * exp(-n/b) + c)
+
+pdf("{path}/pan_curve.pdf")
+par(mfrow=c(2,2))
+
+plot(x,y, xlab='# of genomes', ylab='# of core genes', pch=19)
+lines(fc(1:end), col='red', lwd=3)
+
+# new genes per sequenced
+K_s = {a1_}
+Tau_s = {b1_}
+TgTheta = {c1_}
+fs <- function(n)(K_s * exp(-n / Tau_s) + TgTheta)
+
+y=dat$V3
+x=dat$V1
+
+plot(x,y, xlab='# of genomes', ylab='# of new genes', pch=19)
+lines(fs(1:end), col='blue', lwd=3)
+
+# pangenome size
+K={a2_}
+r={b2_}
+
+fp <- function(n)(K * n ** r)
+
+y=dat$V4
+x=dat$V1
+
+plot(x,y, xlab='# of genomes', ylab='size of pan-genome', pch=19)
+lines(fp(1:end), col='green', lwd=3)
+
+dev.off()
+
+'''
+
+
+def write_plot_files(prefix: str, index, cores, specs, panzs,
+                     params) -> None:
+    """Drop-in plot artifacts of the reference (pan_genome.py:384-389,
+    579-637): ``<prefix>_xy.txt`` — the rarefaction medians — and
+    ``plot_pan.rs`` next to it, the exact Rscript the reference renders.
+    Deviation (env): no Rscript exists here, so the .rs file is KEPT for
+    the user to run instead of executed-and-deleted (:630-637)."""
+    import os
+    with open(prefix + '_xy.txt', 'w') as o:
+        for a, b, c, d in zip(index, cores, specs, panzs):
+            o.write('%s\n' % '\t'.join(map(str, [a, b, c, d])))
+    curdir = os.path.dirname(os.path.abspath(prefix)) or os.getcwd()
+    rcmd = _RCMD.format(
+        fname=os.path.abspath(prefix) + '_xy.txt',
+        a0_=params[0], b0_=params[1], c0_=params[2],
+        a1_=params[3], b1_=params[4], c1_=params[5],
+        a2_=params[6], b2_=params[7],
+        end=max(index), path=curdir)
+    with open(os.path.join(curdir, 'plot_pan.rs'), 'w') as o:
+        o.write(rcmd)
+
+
 def pan_report(db: SeqDB, cluster_lines: Iterable[str], out: IO[str],
                ts: float = 0.05, tc: float = 0.95, sep: str = '|',
                tax_allow: set | None = None, rare_size: int = 20,
-               taxon_order: List[str] | None = None):
+               taxon_order: List[str] | None = None,
+               plot_prefix: str | None = None):
     taxon_list, names, types, mat, (spec, shar, core) = build_matrix(
         db, cluster_lines, ts, tc, sep, tax_allow, taxon_order)
     N = len(taxon_list)
@@ -176,6 +247,7 @@ def pan_report(db: SeqDB, cluster_lines: Iterable[str], out: IO[str],
     if N >= 3 and len(mat):
         index, cores, specs, panzs = rarefaction(mat, rare_size, ts, tc)
         inf = np.inf
+        params: List[float] = []
         try:
             w('#\n# %s(core size of pan-genome) and 95%% confidence '
               'interval:\n' % w_)
@@ -184,6 +256,7 @@ def pan_report(db: SeqDB, cluster_lines: Iterable[str], out: IO[str],
             w('#\t%sc\t%sc\t%s\n' % (k_, t_, w_))
             w('# ' + '\t'.join(str(a) + pm + str(b)
                                for a, b in zip(popt, conf)) + '\n')
+            params.extend(popt)
             w('#\n# %s(new gene number for each new sequenced genome) and '
               '95%% confidence interval:\n' % theta)
             popt, conf = fit_curve(_fc, index, specs,
@@ -191,12 +264,17 @@ def pan_report(db: SeqDB, cluster_lines: Iterable[str], out: IO[str],
             w('# %ss\t%ss\ttg(%s)\n' % (k_, t_, theta))
             w('# ' + '\t'.join(str(a) + pm + str(b)
                                for a, b in zip(popt, conf)) + '\n')
+            params.extend(popt)
             w('#\n# %s(size and openess of pan-genome, open if %s > 0) and '
               '95%% confidence interval:\n' % (k_, r_))
             popt, conf = fit_curve(_pgene, index, panzs)
             w('# %s\t%s\n' % (k_, r_))
             w('# ' + '\t'.join(str(a) + pm + str(b)
                                for a, b in zip(popt, conf)) + '\n')
+            params.extend(popt)
+            if plot_prefix:
+                write_plot_files(plot_prefix, index, cores, specs, panzs,
+                                 params)
         except Exception as e:      # tiny corpora can defeat the fits
             w('# curve fitting skipped: %s\n' % e)
 

@@ -26,8 +26,12 @@ def cmd_pan_genome(argv):
     if args['-r']:
         allow = {l.strip() for l in open(args['-r'])}
     with open(args['-g']) as fh:
+        # drop-in side effects of the reference script: <g>_xy.txt (the
+        # rarefaction medians, pan_genome.py:384-389) plus plot_pan.rs
+        # (kept, not executed — no Rscript in this env, :630-637)
         pan_report(db, fh, sys.stdout, ts=float(args['-l']),
-                   tc=float(args['-u']), tax_allow=allow)
+                   tc=float(args['-u']), tax_allow=allow,
+                   plot_prefix=args['-g'])
     return 0
 
 

@@ -28,3 +28,15 @@ def parse(source, fmt):
         yield _Record(rid, ''.join(chunks))
     if isinstance(source, str):
         fh.close()
+
+
+def write(records, handle, fmt):
+    """Minimal fasta writer (reference rbh2phy.py:196 writes the
+    per-family selection output through SeqIO.write; parity tests
+    compare files via parse, so wrapping is irrelevant)."""
+    assert fmt == 'fasta', fmt
+    n = 0
+    for r in records:
+        handle.write('>%s\n%s\n' % (r.id, str(r.seq)))
+        n += 1
+    return n

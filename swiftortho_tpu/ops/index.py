@@ -98,6 +98,63 @@ def load_index(path: str) -> 'SeedIndex':
                      threshold=threshold, mink=mink)
 
 
+def save_index_ref(prefix: str, ix: 'SeedIndex', space: str, nr: str):
+    """Write a chunk index in the REFERENCE's on-disk DB layout
+    (lib/fsearch.py Fasta.write, :2298-2349): three little-endian int32
+    files — ``<prefix>.idx`` (locus), ``<prefix>.soas`` (per-seq prefix
+    sums), ``<prefix>.bin`` (NC CSR start offsets) — with the ``;``-joined
+    params footer ``offset;offend;mw;threshold;NC;space;nr`` appended to
+    .bin followed by one trailing byte = chr(len(footer)) (:2336-2348).
+
+    offend carries the reference's end+1 quirk (build_msav stores the
+    pre-clamp ``end + 1``, :2226); mw = max '1'-count over the seed
+    patterns (:2221).  Values must fit int32 (pack('i')); a chunk whose
+    token count exceeds 2^31-1 cannot use this layout (the reference has
+    the same bound)."""
+    for arr, nm in ((ix.locus, '.idx'), (ix.soas, '.soas'),
+                    (ix.start, '.bin')):
+        if len(arr) and int(np.max(arr)) > 2 ** 31 - 1:
+            raise OverflowError('%s values exceed int32 (reference '
+                                'layout bound)' % nm)
+    ix.locus.astype('<i4').tofile(prefix + '.idx')
+    ix.soas.astype('<i4').tofile(prefix + '.soas')
+    mw = max(p.count('1') for p in space.split(','))
+    offend = ix.seq_offset + (len(ix.soas) - 1) + 1
+    footer = '%d;%d;%d;%d;%d;%s;%s' % (
+        ix.seq_offset, offend, mw, ix.threshold, ix.nc, space, nr)
+    if len(footer) > 255:
+        raise ValueError('params footer exceeds the 1-byte length field')
+    with open(prefix + '.bin', 'wb') as f:
+        ix.start[:ix.nc].astype('<i4').tofile(f)
+        f.write(footer.encode() + bytes([len(footer)]))
+
+
+def load_index_ref(prefix: str) -> tuple['SeedIndex', dict]:
+    """Load a reference-layout chunk DB (written by the reference's
+    ``-p makedb`` / Fasta.write or by save_index_ref) into a SeedIndex.
+
+    Returns (index, params) where params carries the footer fields we do
+    not store (space, nr, mw, offend) so callers can validate them
+    against the active SearchConfig.  The CSR end of the last bucket is
+    len(locus) (the reference reads bucket i as [start[i], start[i+1]),
+    final end implicit), so our (nc+1,) start gains that sentinel."""
+    locus = np.fromfile(prefix + '.idx', '<i4').astype(np.int64)
+    soas = np.fromfile(prefix + '.soas', '<i4').astype(np.int64)
+    with open(prefix + '.bin', 'rb') as f:
+        raw = f.read()
+    m = raw[-1]
+    footer = raw[len(raw) - 1 - m:len(raw) - 1].decode()
+    offset, offend, mw, thr, nc, space, nr = footer.split(';')
+    nc = int(nc)
+    start = np.frombuffer(raw, '<i4', count=nc).astype(np.int64)
+    start = np.concatenate([start, [len(locus)]])
+    ix = SeedIndex(nc=nc, start=start, locus=locus, soas=soas,
+                   seq_offset=int(offset), threshold=int(thr),
+                   mink=min(len(p) for p in space.split(',')))
+    return ix, {'space': space, 'nr': nr, 'mw': int(mw),
+                'offend': int(offend)}
+
+
 def build_index(db: SeqDB, start: int, end: int, alphabets: List[str],
                 ssps: str, nc: int, step: int = 1,
                 threshold_override: int = -1) -> SeedIndex:

@@ -264,11 +264,24 @@ class IndexSource:
 
         paths = sorted(glob.glob(prefix + '.*.npz'),
                        key=lambda p: int(p.rsplit('.', 2)[-2]))
-        if not paths:
+        if paths:
+            return cls(len(paths), lambda ci: load_index(paths[ci]),
+                       cheap_reget=True)
+        # reference on-disk layout (.idx/.soas/.bin + params footer,
+        # fsearch.py:2298-2349): chunked `name.%d.*` as written by its
+        # makedb (:2283-2295), or a single unnumbered `name.*`
+        from ..ops.index import load_index_ref
+        rpaths = sorted(glob.glob(prefix + '.*.bin'),
+                        key=lambda p: int(p.rsplit('.', 2)[-2]))
+        if not rpaths and glob.glob(prefix + '.bin'):
+            rpaths = [prefix + '.bin']
+        if not rpaths:
             raise FileNotFoundError(
-                'no index files match %s.*.npz — check the -D prefix '
-                '(indexes are written by -p makedb)' % prefix)
-        return cls(len(paths), lambda ci: load_index(paths[ci]),
+                'no index files match %s.*.npz or %s.*.bin — check the '
+                '-D prefix (indexes are written by -p makedb)'
+                % (prefix, prefix))
+        return cls(len(rpaths),
+                   lambda ci: load_index_ref(rpaths[ci][:-len('.bin')])[0],
                    cheap_reget=True)
 
 

@@ -124,6 +124,32 @@ class TestIndexPersistence:
         assert np.array_equal(ix2.locus, ix.locus)
         assert np.array_equal(ix2.soas, ix.soas)
 
+    def test_ref_layout_roundtrip(self, tmp_path):
+        """Reference .idx/.soas/.bin + ';'-params footer + trailing
+        length byte (fsearch.py:2298-2349): write it, load it, get an
+        identical SeedIndex back (VERDICT r3 item 8)."""
+        from swiftortho_tpu.ops.index import load_index_ref, save_index_ref
+
+        db = SeqDB.from_records([('t|a', 'MKVLAWDERTYH' * 3),
+                                 ('t|b', 'ACDEFGHIKLMNP' * 3)])
+        ix = build_index(db, 0, 2, [AA9], '11111111', 1 << 16)
+        p = str(tmp_path / 'refdb.0')
+        save_index_ref(p, ix, space='11111111', nr=AA9)
+        ix2, meta = load_index_ref(p)
+        assert ix2.nc == ix.nc and ix2.threshold == ix.threshold
+        assert ix2.seq_offset == ix.seq_offset and ix2.mink == ix.mink
+        assert np.array_equal(ix2.start, ix.start)
+        assert np.array_equal(ix2.locus, ix.locus)
+        assert np.array_equal(ix2.soas, ix.soas)
+        assert meta['space'] == '11111111' and meta['nr'] == AA9
+        assert meta['mw'] == 8 and meta['offend'] == 3  # ref end+1 quirk
+        # file-level layout: trailing byte is the footer length, and the
+        # .bin body is exactly nc int32 offsets + footer
+        raw = (tmp_path / 'refdb.0.bin').read_bytes()
+        m = raw[-1]
+        assert raw[-1 - m:-1].decode().count(';') == 6
+        assert len(raw) == 4 * ix.nc + m + 1
+
 
 class TestScriptCLI:
     def test_dispatch_table(self):

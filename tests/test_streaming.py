@@ -64,6 +64,24 @@ class TestStreamedIndex:
         assert from_disk == resident
         assert src.max_resident == 1
 
+    def test_ref_layout_disk_index_identical(self, corpus, tmp_path):
+        """-D interop with the reference's chunked .idx/.soas/.bin DB
+        layout: from_disk sniffs it when no .npz matches, and the search
+        output is identical (VERDICT r3 item 8)."""
+        from swiftortho_tpu.ops.index import save_index_ref
+
+        cfg = SearchConfig(**CFG)
+        prefix = str(tmp_path / 'refdb')
+        for ci, ix in enumerate(IndexSource.from_build(corpus, cfg)):
+            save_index_ref('%s.%d' % (prefix, ci), ix,
+                           space=cfg.seeds, nr=cfg.alphabet)
+        src = IndexSource.from_disk(prefix)
+        assert len(src) >= 4
+        from_ref = list(blastp_stream(corpus, corpus, cfg, indexes=src))
+        resident = list(blastp_stream(corpus, corpus, cfg))
+        assert from_ref == resident
+        assert src.max_resident == 1
+
 
 class TestOverlap:
     def test_overlap_off_identical(self, corpus, monkeypatch):

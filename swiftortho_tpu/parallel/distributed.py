@@ -207,6 +207,10 @@ def fleet_search_to_file(qry, ref, cfg, out: str,
                                          r_end=r_end)
     else:
         indexes = None
+    from time import time as _now
+
+    from ..utils import log_event
+    t0 = _now()
     part = '%s.part%05d' % (out, pid)
     with open(part, 'w') as fh:
         buf = []
@@ -218,7 +222,9 @@ def fleet_search_to_file(qry, ref, cfg, out: str,
                 fh.write(''.join(buf))
                 buf = []
         fh.write(''.join(buf))
+    t1 = _now()
     barrier('swiftortho_fleet_parts')
+    t2 = _now()
     if pid == 0:
         import shutil
         with open(out, 'ab' if append else 'wb') as dst:
@@ -227,5 +233,13 @@ def fleet_search_to_file(qry, ref, cfg, out: str,
                 with open(p, 'rb') as src:
                     shutil.copyfileobj(src, dst)
                 os.remove(p)
+    t3 = _now()
     barrier('swiftortho_fleet_merge')
+    # per-rank wall decomposition (VERDICT r3 item 6): search includes
+    # this rank's index loads + host pipeline + device waits; barrier_s
+    # is straggler skew (time blocked waiting for slower ranks)
+    log_event('fleet_rank_phases', rank=pid, nproc=nproc,
+              search_s=round(t1 - t0, 3), barrier_s=round(t2 - t1, 3),
+              merge_s=round(t3 - t2, 3),
+              total_s=round(_now() - t0, 3))
     return out

@@ -236,14 +236,24 @@ def test_fleet_scaling_efficiency(tmp_path):
         _run_fleet(tmp_path, fsa, nproc=2, dbprefix=fsa, ndev=1)
         t2 = max(float((tmp_path / ('time_2_%d.txt' % pid)).read_text())
                  for pid in range(2))
-        return t1, t2
+        _run_fleet(tmp_path, fsa, nproc=4, dbprefix=fsa, ndev=1)
+        t4 = max(float((tmp_path / ('time_4_%d.txt' % pid)).read_text())
+                 for pid in range(4))
+        return t1, t2, t4
 
-    t1, t2 = measure()
-    # byte-identity between the two fleet sizes, for free
+    t1, t2, t4 = measure()
+    # byte-identity between the fleet sizes, for free
     assert (tmp_path / 'merged_2.sc').read_text() == \
         (tmp_path / 'merged_1.sc').read_text() != ''
-    if not t2 < 0.7 * t1:
+    assert (tmp_path / 'merged_4.sc').read_text() == \
+        (tmp_path / 'merged_1.sc').read_text()
+    if not (t2 < 0.7 * t1 and t4 < 0.5 * t1):
         # wall-clock gate: one retry absorbs transient host load (the
-        # measured idle-box ratio is 0.60, so a clean rerun passes)
-        t1, t2 = measure()
+        # measured idle-box ratios are 0.55 at 2 ranks and 0.34 at 4
+        # ranks — tools/scaling_bench.py r4 — so a clean rerun passes)
+        t1, t2, t4 = measure()
     assert t2 < 0.7 * t1, (t1, t2)
+    # 4 ranks saturate this 4-core box (per-rank cpu ~= wall, merge ~0,
+    # BASELINE.md r4 profile); 0.5x pins >=50% efficiency with CI slack
+    # under the measured 73.5%
+    assert t4 < 0.5 * t1, (t1, t4)

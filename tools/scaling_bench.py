@@ -30,6 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = textwrap.dedent("""
     import sys, time
+    tproc = time.time()
     pid, nproc, port, fsa, out, dbprefix = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
         sys.argv[5], sys.argv[6])
@@ -42,9 +43,17 @@ WORKER = textwrap.dedent("""
     init_distributed('127.0.0.1:%d' % port, nproc, pid)
     db = SeqDB.from_path(fsa)
     cfg = SearchConfig(expect=1e-5, nc=262144, query_batch=16)
+    import resource
+    r0 = resource.getrusage(resource.RUSAGE_SELF)
     t0 = time.time()
     fleet_search_to_file(db, db, cfg, out, db_prefix=dbprefix)
-    print('RANKTIME %d %f' % (pid, time.time() - t0), flush=True)
+    t1 = time.time()
+    r1 = resource.getrusage(resource.RUSAGE_SELF)
+    print('RANKTIME %d %f' % (pid, t1 - t0), flush=True)
+    print('RANKINIT %d %f' % (pid, t0 - tproc), flush=True)
+    print('RANKCPU %d %f %f' % (pid,
+          (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime),
+          t1 - t0), flush=True)
 """)
 
 
@@ -71,15 +80,39 @@ def run_fleet(nproc, fsa, out, dbprefix, workdir):
     procs = [subprocess.Popen(
         [sys.executable, worker, str(pid), str(nproc), str(port), fsa,
          out, dbprefix], env=env, stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL) for pid in range(nproc)]
+        stderr=subprocess.PIPE) for pid in range(nproc)]
     times = {}
+    phases = {}
     for p in procs:
-        sout, _ = p.communicate(timeout=3600)
-        assert p.returncode == 0
+        sout, serr = p.communicate(timeout=3600)
+        assert p.returncode == 0, serr[-2000:]
         for line in sout.decode().splitlines():
             if line.startswith('RANKTIME'):
                 _, pid, dt = line.split()
                 times[int(pid)] = float(dt)
+            elif line.startswith('RANKINIT'):
+                _, pid, dt = line.split()
+                phases.setdefault(int(pid), {})['init_s'] = float(dt)
+            elif line.startswith('RANKCPU'):
+                _, pid, cpu, wall = line.split()
+                phases.setdefault(int(pid), {})['cpu_s'] = float(cpu)
+        # per-rank phase decomposition from the structured log
+        for line in serr.decode().splitlines():
+            if not line.startswith('[swiftortho] '):
+                continue
+            rec = json.loads(line[len('[swiftortho] '):])
+            if rec.get('stage') == 'fleet_rank_phases':
+                d = phases.setdefault(rec['rank'], {})
+                for k in ('search_s', 'barrier_s', 'merge_s'):
+                    d[k] = rec[k]
+    for pid in sorted(phases):
+        d = phases[pid]
+        print('    rank %d: init %.2f  search %.2f  barrier %.2f  '
+              'merge %.2f  cpu %.2f' % (pid, d.get('init_s', 0),
+                                        d.get('search_s', 0),
+                                        d.get('barrier_s', 0),
+                                        d.get('merge_s', 0),
+                                        d.get('cpu_s', 0)))
     return max(times.values())
 
 

@@ -90,6 +90,32 @@ def _tpu_worker():
                                      l0.reshape(-1), l1.reshape(-1))
         parity = all(np.array_equal(got[k], np.asarray(want[k]).reshape(-1))
                      for k in want)
+
+        # VERDICT r3 item 4: the gate must cover the whole length-bucket
+        # ladder AND both best-tracking strategies — a chip-lowering bug
+        # off the production L=500 shape (or in the per-substep branch
+        # the interpret tests pin) must zero the score too.  One 128-pair
+        # chunk per bucket, mixed lengths, full stats.
+        from swiftortho_tpu.ops.banded_sw_pallas import sw_align_batch_pallas
+        FIELDS = ('score', 'bi', 'bj', 'sti', 'stj', 'idy', 'aln', 'mis',
+                  'gap')
+        for Lb in (128, 500, 1536, 4096):
+            bt0 = AA[rng.integers(0, 20, (128, Lb))]
+            bt1 = AA[rng.integers(0, 20, (128, Lb))]
+            bl0 = rng.integers(Lb // 2, Lb + 1, 128).astype(np.int32)
+            bl1 = rng.integers(Lb // 2, Lb + 1, 128).astype(np.int32)
+            want_b = sw_align_batch_native(bt0, bt1, bl0, bl1)
+            ps = sw_align_batch_pallas(bt0, bt1, bl0, bl1)  # per-slot
+            su = sw_align_batch_pallas(bt0, bt1, bl0, bl1,
+                                       per_slot=False)      # per-substep
+            ok = all(
+                np.array_equal(np.asarray(ps[k]),
+                               np.asarray(want_b[k]).astype(np.int32))
+                and np.array_equal(np.asarray(su[k]), np.asarray(ps[k]))
+                for k in FIELDS)
+            if not ok:
+                print(json.dumps({'ladder_fail': Lb}), flush=True)
+            parity = parity and ok
     except (ImportError, OSError):
         pass        # no g++/oracle .so: skip the gate; anything else
         # (shape bugs, chip faults) must fail LOUDLY, not skip the gate
@@ -154,9 +180,10 @@ def main():
     # axon session establishment can inflate to many minutes when prior
     # processes were killed mid-warm (server-side sessions drain over
     # ~1 h) — give the worker room, and retry once
-    tpu = _run('--tpu-worker', timeout=1500)
+    # ladder gate adds up to 8 on-chip compiles on a cold XLA cache
+    tpu = _run('--tpu-worker', timeout=2400)
     if tpu is None:                               # one retry (cold tunnel)
-        tpu = _run('--tpu-worker', timeout=1500)
+        tpu = _run('--tpu-worker', timeout=2400)
 
     tpu_v = tpu['cells_per_s'] if tpu else 0.0
     cpu_v = cpu['cells_per_s'] if cpu else 0.0

@@ -166,6 +166,111 @@ def _stage1_seeds(q_tokens, q_lengths, code_tbls, start_i32, nc_u32,
     return buckets, kept, counts, total
 
 
+def _walk_chunked(qtok_flat, db_tokens, b62, L, WC, Wmax, qrow, s_off,
+                  start_q, start_s, step, base, qlo, slo, qlen, slen):
+    """Chunked-window exact equivalent of ``_walk``: the prefix sums,
+    running max and first-argmax are carried across WC-step chunks, so
+    the results are bit-identical for any WC — but the loop exits as
+    soon as EVERY lane has ended, so the work is O(actual extension
+    length) instead of O(full window).  The r4 on-chip decomposition
+    (tools/probe_cand_phase.py) showed the old full-width lockstep
+    walks were ~99% of stage-2 time (42 of 42.4 s per 512-row block);
+    extensions typically end within a few dozen steps of the x-drop."""
+    P = qrow.shape[0]
+    t_rel = jnp.arange(WC, dtype=jnp.int32)[None, :]
+    NEGI = jnp.int32(NEG_INF)
+
+    def cond(st):
+        _, alive = st[0], st[1]
+        return jnp.any(alive)
+
+    def body(st):
+        t0, alive, run_sum, run_max, best, best_t = st
+        t = t0 + t_rel
+        qpos = start_q[:, None] + step * t
+        spos = start_s[:, None] + step * t
+        valid = ((qpos > qlo[:, None]) & (qpos < qlen[:, None])
+                 & (spos > slo[:, None]) & (spos < slen[:, None]))
+        qi = jnp.take(qtok_flat,
+                      qrow[:, None] * L + jnp.clip(qpos, 0, L - 1))
+        sj = jnp.take(db_tokens,
+                      jnp.clip(s_off[:, None] + spos, 0,
+                               db_tokens.shape[0] - 1))
+        d = jnp.where(valid, jnp.take(b62, qi * 256 + sj),
+                      jnp.int32(NEG_STEP))
+        sums = run_sum[:, None] + jnp.cumsum(d, axis=1, dtype=jnp.int32)
+        prev = jnp.concatenate([run_sum[:, None], sums[:, :-1]], axis=1)
+        runmax = jnp.maximum(run_max[:, None],
+                             jax.lax.cummax(prev, axis=1))
+        stopped = sums + XDROP < runmax
+        ended = stopped | ~valid
+        dead = jnp.concatenate(
+            [jnp.zeros((P, 1), bool),
+             jnp.cumsum(ended.astype(jnp.int32), axis=1)[:, :-1] > 0],
+            axis=1) | ~alive[:, None]
+        alive_sums = jnp.where(dead | ~valid, NEGI, sums)
+        bc = jnp.max(alive_sums, axis=1)
+        tc = jnp.argmax(alive_sums, axis=1).astype(jnp.int32) + t0
+        better = bc > best          # strict: keeps the FIRST global argmax
+        best = jnp.where(better, bc, best)
+        best_t = jnp.where(better, tc, best_t)
+        alive = alive & ~jnp.any(ended, axis=1) & (t0 + WC < Wmax)
+        run_sum = jnp.where(alive, sums[:, -1], run_sum)
+        run_max = jnp.where(alive, jnp.maximum(run_max,
+                                               jnp.max(prev, axis=1)),
+                            run_max)
+        return t0 + WC, alive, run_sum, run_max, best, best_t
+
+    init = (jnp.int32(0), jnp.ones((P,), bool), base,
+            jnp.full((P,), NEGI), base, jnp.full((P,), -1, jnp.int32))
+    st = jax.lax.while_loop(cond, body, init)
+    return st[4], st[5]
+
+
+def _seg_max_scan(flags, vals):
+    """Segmented inclusive max-scan (flags mark segment starts)."""
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
+
+    _, out = jax.lax.associative_scan(op, (flags, vals))
+    return out
+
+
+def _accept_rounds(new_seg, valid_s, p_qst, E):
+    """The greedy cover chain (reference get_ungap_scores drain,
+    fsearch.py:2679-2724) as parallel rounds: cover after an accepted
+    point = its right-walk end E (strictly increasing, E >= qst), so the
+    'skip points <= cover' drain is the classic greedy interval chain —
+    each round accepts the first still-uncovered point of every group
+    simultaneously (segmented scans, no gathers), and the loop runs
+    max-accepted-per-group times (typically 1-3).  Returns (accepted,
+    qlo_rec) where qlo_rec is the cover at acceptance time (-1 marks a
+    group's first point, whose walk bounds are 0 — see _walk callers)."""
+    C = p_qst.shape[0]
+
+    def cond(st):
+        return st[3]
+
+    def body(st):
+        acc, cov, qlo_rec, _ = st
+        cand = valid_s & (~acc) & (p_qst > cov)
+        ci = cand.astype(jnp.int32)
+        excl = jnp.cumsum(ci) - ci
+        segbase = _seg_max_scan(new_seg, jnp.where(new_seg, excl, -1))
+        firstc = cand & (excl == segbase)
+        covE = _seg_max_scan(new_seg,
+                             jnp.where(firstc, E, jnp.int32(-1)))
+        return (acc | firstc, jnp.maximum(cov, covE),
+                jnp.where(firstc, cov, qlo_rec), jnp.any(firstc))
+
+    init = (jnp.zeros((C,), bool), jnp.full((C,), -1, jnp.int32),
+            jnp.zeros((C,), jnp.int32), jnp.bool_(True))
+    acc, _, qlo_rec, _ = jax.lax.while_loop(cond, body, init)
+    return acc, qlo_rec
+
+
 def _walk(qtok_flat, db_tokens, b62, L, W, qrow, s_off,
           start_q, start_s, step, base, qlo, slo, qlen, slen):
     """One-direction windowed x-drop (ungap semantics, fsearch.py
@@ -201,13 +306,18 @@ def _walk(qtok_flat, db_tokens, b62, L, W, qrow, s_off,
     return best, best_t
 
 
-@partial(jax.jit, static_argnames=('C', 'L', 'W'))
+@partial(jax.jit, static_argnames=('C', 'L', 'W', 'ablate', 'WC', 'PB'))
 def _stage2_expand_chain(buckets, kept, counts, q_tokens, q_lengths,
                          start_i32, sid_i32, sst_i32,
                          db_tokens, db_offsets, total,
-                         C: int, L: int, W: int):
+                         C: int, L: int, W: int, ablate: str = '',
+                         WC: int = 64, PB: int = 1 << 14):
     """Posting expansion into capacity C, packed-key grouping, lockstep
-    chain scoring.  Returns per-group (qrow, sid, diag, score, valid)."""
+    chain scoring.  Returns per-group (qrow, sid, diag, score, valid).
+
+    ablate (perf probes only, results invalid): 'nochain' stops after
+    grouping (totals = 0); 'nosort' additionally replaces the capacity
+    argsort with iota."""
     S, B, _ = buckets.shape
     b_flat = buckets.reshape(-1)
     c_flat = counts.reshape(-1).astype(jnp.int32)
@@ -234,7 +344,7 @@ def _stage2_expand_chain(buckets, kept, counts, q_tokens, q_lengths,
             << 14) | (diag_o.astype(jnp.int64) + 8192)) << 13 \
         | qst_o.astype(jnp.int64)
     key = jnp.where(valid_o, key, jnp.int64(2 ** 62))
-    order = jnp.argsort(key)
+    order = jnp.arange(C) if ablate == 'nosort' else jnp.argsort(key)
     key_s = jnp.take(key, order)
     qst_s = (key_s & 8191).astype(jnp.int32)
     valid_s = jnp.take(valid_o, order)
@@ -259,77 +369,101 @@ def _stage2_expand_chain(buckets, kept, counts, q_tokens, q_lengths,
     g_sid = ((fkey >> 27) & ((1 << 21) - 1)).astype(jnp.int32)
     g_diag = ((fkey >> 13) & ((1 << 14) - 1)).astype(jnp.int32) - 8192
 
+    if ablate:
+        return (g_qrow, g_sid, g_diag, jnp.zeros((C,), jnp.int32),
+                grp_valid, n_groups)
+
+    # --- chain scoring, fully parallel over POINTS (r4 redesign).  The
+    # old lockstep group-walk (serial while_loop per 2048-group block,
+    # full-width windows) measured 42 s of device compute per 512-row
+    # block (tools/probe_cand_phase.py) — 99% of stage-2.  Replaced by:
+    # (1) one chunked-window RIGHT walk for every point at once (the
+    #     right walk never depends on the cover state — its lower bounds
+    #     are vacuous except for each group's first point, a static
+    #     flag);
+    # (2) the greedy cover chain as parallel segmented-scan rounds
+    #     (_accept_rounds) over the precomputed right ends;
+    # (3) one chunked LEFT walk for every point with its recorded cover
+    #     bound; non-accepted points are masked out of the group sums.
+    # Bit-identical to the host engine (tests pin it); the per-point
+    # walks are lax.map'ed over PB-point blocks to bound the (PB, WC)
+    # temporaries.
     qtok_flat = q_tokens.reshape(-1).astype(jnp.int32)
     b62 = _b62_flat()
-    g_soff = jnp.take(db_offsets, jnp.clip(g_sid, 0,
-                                           db_offsets.shape[0] - 2))
-    g_slen = (jnp.take(db_offsets, jnp.clip(g_sid, 0,
-                                            db_offsets.shape[0] - 2) + 1)
-              - g_soff).astype(jnp.int32)
-    g_qlen = jnp.take(q_lengths.astype(jnp.int32),
-                      jnp.clip(g_qrow, 0, B - 1))
+    p_qrow = (key_s >> 48).astype(jnp.int32)
+    p_sid = ((key_s >> 27) & ((1 << 21) - 1)).astype(jnp.int32)
+    p_diag = ((key_s >> 13) & ((1 << 14) - 1)).astype(jnp.int32) - 8192
+    p_qst = qst_s
+    sid_c = jnp.clip(p_sid, 0, db_offsets.shape[0] - 2)
+    p_soff = jnp.take(db_offsets, sid_c)
+    p_slen = (jnp.take(db_offsets, sid_c + 1) - p_soff).astype(jnp.int32)
+    p_qlen = jnp.take(q_lengths.astype(jnp.int32),
+                      jnp.clip(p_qrow, 0, B - 1))
+    first = new_group                   # group's first point (always run)
+    # duplicate (group, qst) postings contribute exactly 0 (the twin's
+    # cover always absorbs them) — drop them from the walk workload
+    live = valid_s & (first | jnp.concatenate(
+        [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]))
 
-    NB = C // GB if C >= GB else 1
-    BSZ = GB if C >= GB else C
+    PB_ = min(C, PB)
 
-    def block(args):
-        (b_qrow, b_diag, b_soff, b_slen, b_qlen, b_start, b_end) = args
+    def walk_blocked(pts, start_q, start_s, step, base, qlo, slo):
+        sh2 = (C // PB_, PB_)
 
-        def cond(state):
-            ptr, cover, first, tot = state
-            return jnp.any(ptr < b_end)
+        def one(a):
+            (b_qrow, b_soff, b_sq, b_ss, b_base, b_qlo, b_slo, b_qlen,
+             b_slen) = a
+            return _walk_chunked(qtok_flat, db_tokens, b62, L, WC, W,
+                                 b_qrow, b_soff, b_sq, b_ss, step,
+                                 b_base, b_qlo, b_slo, b_qlen, b_slen)
 
-        def body(state):
-            ptr, cover, first, tot = state
+        br, bt = jax.lax.map(one, (pts[0].reshape(sh2),
+                                   pts[1].reshape(sh2),
+                                   start_q.reshape(sh2),
+                                   start_s.reshape(sh2),
+                                   base.reshape(sh2), qlo.reshape(sh2),
+                                   slo.reshape(sh2),
+                                   pts[2].reshape(sh2),
+                                   pts[3].reshape(sh2)))
+        return br.reshape(-1), bt.reshape(-1)
 
-            # drain covered points (contribute exactly 0)
-            def d_cond(p):
-                act = p < b_end
-                p_now = jnp.take(qst_s, jnp.clip(p, 0, C - 1))
-                return jnp.any(act & ~first & (p_now <= cover))
+    s0 = p_qst - p_diag
+    zero = jnp.zeros((C,), jnp.int32)
+    # right-walk lower bounds: 0 for a group's first point (positions 0
+    # are excluded, reference ungap 1-based walk); vacuous otherwise —
+    # the old code passed (cover, cover-diag), but every processed
+    # non-first point has p0 > cover, so qpos >= p0 > cover and
+    # spos = qpos - diag > cover - diag never bind.  Dead lanes (dups /
+    # invalid tail) get qlen 0 so their walk ends at step one.
+    r_qlo = jnp.where(first, 0, -1)
+    r_slo = jnp.where(first, 0, jnp.int32(-2 ** 30))
+    pts = (p_qrow, p_soff, jnp.where(live, p_qlen, 0),
+           jnp.where(live, p_slen, 0))
+    best_r, t_r = walk_blocked(pts, p_qst, s0, 1, zero, r_qlo, r_slo)
+    E = jnp.where(t_r >= 0, p_qst + t_r, p_qst)
 
-            def d_body(p):
-                act = p < b_end
-                p_now = jnp.take(qst_s, jnp.clip(p, 0, C - 1))
-                covered = act & ~first & (p_now <= cover)
-                return p + covered.astype(jnp.int32)
+    acc, qlo_rec = _accept_rounds(new_group, live, p_qst, E)
 
-            ptr = jax.lax.while_loop(d_cond, d_body, ptr)
-            act = ptr < b_end
-            p0 = jnp.take(qst_s, jnp.clip(ptr, 0, C - 1))
-            s0 = p0 - b_diag
-            qlo = jnp.where(first, 0, cover)
-            slo = jnp.where(first, 0, qlo - b_diag)
-            zero = jnp.zeros_like(p0)
-            best_r, t_r = _walk(qtok_flat, db_tokens, b62, L, W,
-                                b_qrow, b_soff.astype(jnp.int64),
-                                p0, s0, 1, zero, qlo, slo,
-                                b_qlen, b_slen)
-            max_qed = jnp.where(t_r >= 0, p0 + t_r, p0)
-            best, _ = _walk(qtok_flat, db_tokens, b62, L, W,
-                            b_qrow, b_soff.astype(jnp.int64),
-                            p0 - 1, s0 - 1, -1, best_r, qlo, slo,
-                            b_qlen, b_slen)
-            tot = tot + jnp.where(act, best, 0)
-            cover = jnp.where(act, max_qed, cover)
-            first = first & ~act
-            ptr = ptr + act.astype(jnp.int32)
-            return ptr, cover, first, tot
+    # LEFT walks only for accepted points: compact them to the array
+    # front (stable flag sort) so the lax.map covers ceil(n_acc / PB)
+    # blocks of real work and the rest end immediately
+    perm = jnp.argsort(jnp.where(acc, 0, 1).astype(jnp.int32),
+                       stable=True)
+    inv_ok = acc[perm]
 
-        init = (b_start,
-                jnp.full(b_start.shape, NEG_INF, jnp.int32),
-                jnp.ones(b_start.shape, bool),
-                jnp.zeros(b_start.shape, jnp.int32))
-        _, _, _, tot = jax.lax.while_loop(cond, body, init)
-        return tot
+    def g(a):
+        return jnp.take(a, perm)
 
-    sh = (NB, BSZ)
-    totals = jax.lax.map(block, (g_qrow.reshape(sh), g_diag.reshape(sh),
-                                 g_soff.reshape(sh), g_slen.reshape(sh),
-                                 g_qlen.reshape(sh), grp_start.reshape(sh),
-                                 grp_end.reshape(sh)))
-    return (g_qrow, g_sid, g_diag, totals.reshape(-1), grp_valid,
-            n_groups)
+    l_qlo_all = jnp.maximum(qlo_rec, 0)
+    l_slo_all = jnp.where(qlo_rec < 0, 0, qlo_rec - p_diag)
+    pts_l = (g(p_qrow), g(p_soff), jnp.where(inv_ok, g(p_qlen), 0),
+             jnp.where(inv_ok, g(p_slen), 0))
+    best_c, _ = walk_blocked(pts_l, g(p_qst) - 1, g(s0) - 1, -1,
+                             g(best_r), g(l_qlo_all), g(l_slo_all))
+
+    totals = jnp.zeros((C,), jnp.int32).at[jnp.take(gid_v, perm)].add(
+        jnp.where(inv_ok, best_c, 0))
+    return (g_qrow, g_sid, g_diag, totals, grp_valid, n_groups)
 
 
 _DB_CACHE: dict = {}
@@ -511,12 +645,19 @@ def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
                     a = jnp.pad(a, width)
                 return a
 
+            # knob defaults = the r4 on-chip sweep optimum (BASELINE.md:
+            # 42 -> 7.7 s per 512-row block; WC 128/64/32 = 9.8/8.6/7.9,
+            # PB 2^15/2^14/2^13 monotone in the same direction)
+            wc = int(_os.environ.get('SWIFTORTHO_DEVICE_CAND_WC', '32'))
+            pb = int(_os.environ.get('SWIFTORTHO_DEVICE_CAND_PB',
+                                     str(1 << 13)))
             g_qrow, g_sid, g_diag, score, grp_valid, n_groups = \
                 _stage2_expand_chain(
                     rows(buckets), rows(kept), rows(counts),
                     rows(q_dev), rows(qlen_dev),
                     start_i32, sid_i32, sst_i32, db_tokens, db_offsets,
-                    put(np.int64(btot)), C=C, L=L, W=L + 1)
+                    put(np.int64(btot)), C=C, L=L, W=L + 1,
+                    WC=wc, PB=pb)
             ng = int(n_groups)
             parts.append((
                 np.asarray(g_qrow[:ng]).astype(np.int64) + blo,

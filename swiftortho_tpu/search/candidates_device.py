@@ -370,7 +370,8 @@ def _stage2_expand_chain(buckets, kept, counts, q_tokens, q_lengths,
     g_diag = ((fkey >> 13) & ((1 << 14) - 1)).astype(jnp.int32) - 8192
 
     if ablate:
-        return (g_qrow, g_sid, g_diag, jnp.zeros((C,), jnp.int32),
+        return (jnp.stack([g_qrow, g_sid, g_diag,
+                           jnp.zeros((C,), jnp.int32)]),
                 grp_valid, n_groups)
 
     # --- chain scoring, fully parallel over POINTS (r4 redesign).  The
@@ -463,7 +464,11 @@ def _stage2_expand_chain(buckets, kept, counts, q_tokens, q_lengths,
 
     totals = jnp.zeros((C,), jnp.int32).at[jnp.take(gid_v, perm)].add(
         jnp.where(inv_ok, best_c, 0))
-    return (g_qrow, g_sid, g_diag, totals, grp_valid, n_groups)
+    # one stacked output: a single D2H transfer fetches all four result
+    # columns (per-array slice fetches cost ~10 s/block through the
+    # relay, tools/probe_cand_phase.py)
+    out4 = jnp.stack([g_qrow, g_sid, g_diag, totals])
+    return out4, grp_valid, n_groups
 
 
 _DB_CACHE: dict = {}
@@ -651,19 +656,16 @@ def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
             wc = int(_os.environ.get('SWIFTORTHO_DEVICE_CAND_WC', '32'))
             pb = int(_os.environ.get('SWIFTORTHO_DEVICE_CAND_PB',
                                      str(1 << 13)))
-            g_qrow, g_sid, g_diag, score, grp_valid, n_groups = \
-                _stage2_expand_chain(
-                    rows(buckets), rows(kept), rows(counts),
-                    rows(q_dev), rows(qlen_dev),
-                    start_i32, sid_i32, sst_i32, db_tokens, db_offsets,
-                    put(np.int64(btot)), C=C, L=L, W=L + 1,
-                    WC=wc, PB=pb)
+            out4, grp_valid, n_groups = _stage2_expand_chain(
+                rows(buckets), rows(kept), rows(counts),
+                rows(q_dev), rows(qlen_dev),
+                start_i32, sid_i32, sst_i32, db_tokens, db_offsets,
+                put(np.int64(btot)), C=C, L=L, W=L + 1,
+                WC=wc, PB=pb)
             ng = int(n_groups)
-            parts.append((
-                np.asarray(g_qrow[:ng]).astype(np.int64) + blo,
-                np.asarray(g_sid[:ng]).astype(np.int64),
-                np.asarray(g_diag[:ng]).astype(np.int64),
-                np.asarray(score[:ng]).astype(np.int64)))
+            res = np.asarray(out4[:, :ng]).astype(np.int64)
+            res[0] += blo
+            parts.append(tuple(res))
         g_qrow, g_sid, g_diag, score = (
             np.concatenate([p[i] for p in parts]) for i in range(4))
     return _finish_candidates(g_qrow, g_sid, g_diag, score)

@@ -114,13 +114,13 @@ def main():
                 t0 = time.time()
                 out = cd._stage2_expand_chain(*args, C=C, L=L, W=L + 1,
                                               ablate=ab)
-                ng = int(out[5])        # forcing fetch
+                ng = int(out[2])        # forcing fetch
                 dt = time.time() - t0
                 print('s2 %-8s %s: %.2fs (n_groups %d)'
                       % (name, label, dt, ng), flush=True)
             if not ab:
                 t0 = time.time()
-                parts = tuple(np.asarray(out[i][:ng]) for i in range(4))
+                parts = tuple(np.asarray(out[0][:, :ng]))
                 print('fetch slices: %.2fs (%d groups x 4 cols)'
                       % (time.time() - t0, ng), flush=True)
     print('DONE', flush=True)

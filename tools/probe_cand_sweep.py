@@ -85,16 +85,16 @@ def main():
             t0 = time.time()
             out = cd._stage2_expand_chain(*args, C=C, L=L, W=L + 1,
                                           WC=wc, PB=pb)
-            ng = int(out[5])
+            ng = int(out[2])
             cold = time.time() - t0
             times = []
             for _ in range(2):
                 t0 = time.time()
                 out = cd._stage2_expand_chain(*args, C=C, L=L, W=L + 1,
                                               WC=wc, PB=pb)
-                ng = int(out[5])
+                ng = int(out[2])
                 times.append(time.time() - t0)
-            parts = tuple(np.asarray(out[i][:ng]) for i in range(4))
+            parts = tuple(np.asarray(out[0][:, :ng]))
             if ref_out is None:
                 ref_out = parts
                 same = True

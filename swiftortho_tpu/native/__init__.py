@@ -118,6 +118,12 @@ def load() -> ctypes.CDLL:
         lib.decode_locus.argtypes = [
             i64p, ctypes.c_int64, i64p, ctypes.c_int64, i32p, i32p]
         lib.decode_locus.restype = None
+        lib.budget_keep.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64,
+            i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.budget_keep.restype = None
         lib.hash_seeds_pattern.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), i64p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), i64p, ctypes.c_int64,
@@ -430,6 +436,31 @@ def seg_batch_native(tokens: np.ndarray, lengths: np.ndarray,
         tokens.ctypes.data_as(u8p), B, L, lengths.ctypes.data_as(i64p),
         int(window), float(minent), out.ctypes.data_as(u8p))
     return out
+
+
+def budget_keep_native(rows: np.ndarray, qst: np.ndarray,
+                       counts: np.ndarray, order: np.ndarray,
+                       budgets: np.ndarray, B: int,
+                       nwin: int) -> np.ndarray:
+    """Seed-budget keep mask — identical to the numpy block in
+    search/candidates._self_score_budget (see groupby.cpp budget_keep).
+    ``order`` is the (B, nwin) per-row position ranking from
+    candidates.budget_order."""
+    lib = load()
+    r, q, c = (np.ascontiguousarray(a, np.int64)
+               for a in (rows, qst, counts))
+    order = np.ascontiguousarray(order, np.int64)
+    budgets = np.ascontiguousarray(budgets, np.float64)
+    assert order.shape == (B, nwin)
+    keep = np.empty(len(r), np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.budget_keep(
+        r.ctypes.data_as(i64p), q.ctypes.data_as(i64p),
+        c.ctypes.data_as(i64p), len(r),
+        order.ctypes.data_as(i64p), int(B), int(nwin),
+        budgets.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return keep.astype(bool)
 
 
 def hash_seeds_pattern_native(tokens: np.ndarray, seq_of: np.ndarray,

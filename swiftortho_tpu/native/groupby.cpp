@@ -589,6 +589,70 @@ void rank_cut(const int64_t* qrow, const int64_t* subj,
     out_n[0] = ocnt[n_queries];
 }
 
+// Seed-budget keep mask (reference find_msav_m's hit-budget heuristic,
+// fsearch.py:2667-2677; semantics of the numpy block in
+// search/candidates._self_score_budget): per query row, build the
+// posting-count histogram over seed positions, walk the row's
+// precomputed position order (self-score desc, pos asc — chunk-
+// invariant, computed once per wave by budget_order) accumulating an
+// EXCLUSIVE cumsum, keep a position while cum <= threshold * qlen
+// (int64 cum compared as double, matching the numpy broadcast), then
+// emit keep[i] = keep_pos[rows[i]][qst[i]] per seed.  Rows are
+// independent -> threads take row ranges balanced by seed count.
+// hist scratch is per-thread (nwin int64), zeroed by touched entries.
+void budget_keep(const int64_t* rows, const int64_t* qst,
+                 const int64_t* counts, int64_t n_seeds,
+                 const int64_t* order, int64_t B, int64_t nwin,
+                 const double* budgets, uint8_t* keep) {
+    // seeds grouped by row (stable counting sort, as elsewhere)
+    std::vector<int64_t> scnt(B + 1, 0);
+    for (int64_t i = 0; i < n_seeds; i++) scnt[rows[i] + 1]++;
+    for (int64_t q = 0; q < B; q++) scnt[q + 1] += scnt[q];
+    std::vector<int64_t> seed_of(n_seeds);
+    {
+        std::vector<int64_t> cur(scnt.begin(), scnt.end() - 1);
+        for (int64_t i = 0; i < n_seeds; i++) seed_of[cur[rows[i]]++] = i;
+    }
+    unsigned nt = n_threads();
+    if ((int64_t)nt > B && B > 0) nt = (unsigned)B;
+    if (nt == 0) nt = 1;
+    std::vector<int64_t> bounds(nt + 1, B);
+    bounds[0] = 0;
+    for (unsigned t = 1; t < nt; t++) {
+        int64_t want = n_seeds * t / nt;
+        bounds[t] = std::lower_bound(scnt.begin(), scnt.begin() + B,
+                                     want) - scnt.begin();
+        if (bounds[t] < bounds[t - 1]) bounds[t] = bounds[t - 1];
+    }
+    auto work = [&](int64_t qlo, int64_t qhi) {
+        std::vector<int64_t> hist(nwin, 0);
+        std::vector<uint8_t> keep_pos(nwin, 0);
+        for (int64_t q = qlo; q < qhi; q++) {
+            const int64_t s0 = scnt[q], s1 = scnt[q + 1];
+            if (s0 == s1) continue;
+            for (int64_t s = s0; s < s1; s++)
+                hist[qst[seed_of[s]]] += counts[seed_of[s]];
+            const double budget = budgets[q];
+            const int64_t* ord = order + q * nwin;
+            int64_t cum = 0;
+            for (int64_t k = 0; k < nwin; k++) {
+                const int64_t pos = ord[k];
+                keep_pos[pos] = (double)cum <= budget;
+                cum += hist[pos];
+            }
+            for (int64_t s = s0; s < s1; s++) {
+                const int64_t i = seed_of[s];
+                keep[i] = keep_pos[qst[i]];
+                hist[qst[i]] = 0;          // reset touched entries only
+            }
+        }
+    };
+    std::vector<std::thread> threads;
+    for (unsigned t = 0; t < nt; t++)
+        threads.emplace_back(work, bounds[t], bounds[t + 1]);
+    for (auto& th : threads) th.join();
+}
+
 // Spaced-seed FNV hashing for ONE pattern (reference spseeds_fnv,
 // fsearch.py:519-556; semantics of ops/seeds.hash_seeds_flat): a window
 // starting at i is valid iff it stays inside one sequence (seq_of[i] ==

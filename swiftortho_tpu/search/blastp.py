@@ -517,6 +517,25 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             cache_dir = None
             cache_paths: dict = {}
 
+            # chunk-invariant per-wave seed context (hash + budget
+            # order), shared across the block's chunk sweep — only the
+            # host engine consumes it, and only when >1 chunk makes the
+            # reuse worthwhile (candidates.WaveSeeds; identical output,
+            # guarded by matches(index) per chunk)
+            from .candidates import make_wave_seeds
+            use_ws = (_gen_cands is generate_candidates and n_chunks > 1)
+            wave_seeds: dict = {}
+
+            def seeds_for(wi, toks, lens, index):
+                if not use_ws:
+                    return None
+                ws = wave_seeds.get(wi)
+                if ws is None or not ws.matches(index):
+                    ws = make_wave_seeds(toks, lens, alphabets, cfg.seeds,
+                                         index.nc, index.mink)
+                    wave_seeds[wi] = ws
+                return ws
+
             def chunk_for(bi, ci):
                 nonlocal cache_dir
                 if bi == 0 or source.cheap_reget:
@@ -550,6 +569,12 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
 
                         def work(wi, _ix=index):
                             toks, lens = wave_tokens(wi)
+                            if use_ws:
+                                ws = seeds_for(wi, toks, lens, _ix)
+                                return wi, _gen_cands(toks, lens, ref,
+                                                      _ix, alphabets,
+                                                      cfg.seeds,
+                                                      wave_seeds=ws)
                             return wi, _gen_cands(toks, lens, ref, _ix,
                                                   alphabets, cfg.seeds)
 
@@ -565,12 +590,21 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                     else:
                         for wi in block:
                             toks, lens = wave_tokens(wi)
-                            spill.append(wi, _gen_cands(toks, lens, ref,
-                                                        index, alphabets,
-                                                        cfg.seeds))
+                            if use_ws:
+                                cand = _gen_cands(
+                                    toks, lens, ref, index, alphabets,
+                                    cfg.seeds,
+                                    wave_seeds=seeds_for(wi, toks, lens,
+                                                         index))
+                            else:
+                                cand = _gen_cands(toks, lens, ref, index,
+                                                  alphabets, cfg.seeds)
+                            spill.append(wi, cand)
                             if last:
                                 _signal(wi)
                     del index
+                # the block's contexts die with the block (bounded memory)
+                wave_seeds.clear()
             if n_chunks == 0:
                 for wi in range(len(waves)):
                     _signal(wi)

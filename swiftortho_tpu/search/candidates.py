@@ -61,10 +61,70 @@ class Candidates:
     band_s: np.ndarray    # (N,) band start in subject (guess_start qj)
 
 
+@dataclass
+class WaveSeeds:
+    """Chunk-invariant per-wave precomputes, shared across the reference
+    chunk sweep (fsearch.py:2988-3021 re-derives them per chunk because
+    each fsearch-c process owns one chunk; here one wave visits every
+    chunk, so hashing the wave's seeds and sorting its budget windows
+    once per CHUNK is pure redundancy — both depend only on the wave's
+    masked tokens plus (nc, mink), which are identical across chunks of
+    one search).  Callers must check ``matches(index)`` before reuse; a
+    mismatched chunk (e.g. foreign on-disk DB with its own nc) falls
+    back to a fresh computation."""
+    nc: int
+    mink: int
+    rows: np.ndarray      # (S,) seed query rows (concatenated alphabets)
+    buckets: np.ndarray   # (S,) hash buckets (h % nc)
+    qst: np.ndarray       # (S,) seed query positions
+    order: np.ndarray     # (B, nwin) budget sort order (see budget_order)
+
+    def matches(self, index: SeedIndex) -> bool:
+        return self.nc == index.nc and self.mink == index.mink
+
+
+def budget_order(tokens: np.ndarray, mink: int) -> np.ndarray:
+    """Per-row sort order of seed positions by (self-score desc, pos asc)
+    — the chunk-invariant half of the reference's seed-budget heuristic
+    (fsearch.py:2667-2677; the ranking depends only on the query)."""
+    B, L = tokens.shape
+    diag_self = _B62_I16[tokens, tokens].astype(np.int64)   # (B, L)
+    cs = np.zeros((B, L + 1), dtype=np.int64)
+    np.cumsum(diag_self, axis=1, out=cs[:, 1:])
+    nwin = L - mink + 1
+    kscs = cs[:, mink:] - cs[:, :-mink] if nwin > 0 else np.zeros((B, 0))
+    if nwin <= 0:
+        return np.zeros((B, 1), dtype=np.int64)
+    return np.lexsort((np.broadcast_to(np.arange(nwin), kscs.shape),
+                       -kscs))
+
+
+def make_wave_seeds(q_tokens: np.ndarray, q_lengths: np.ndarray,
+                    alphabets: list, ssps: str, nc: int,
+                    mink: int) -> WaveSeeds:
+    """Build the chunk-invariant wave context (seed hashes + budget
+    order) once; generate_candidates reuses it for every chunk."""
+    from ..constants import reduced_alphabet_table
+
+    rows_l, buckets_l, qst_l = [], [], []
+    for alpha in alphabets:
+        tbl = reduced_alphabet_table(alpha)
+        r, b, p = hash_seeds_batch(q_tokens, q_lengths, tbl, ssps, nc)
+        rows_l.append(r)
+        buckets_l.append(b)
+        qst_l.append(p)
+    return WaveSeeds(nc=nc, mink=mink,
+                     rows=np.concatenate(rows_l),
+                     buckets=np.concatenate(buckets_l),
+                     qst=np.concatenate(qst_l),
+                     order=budget_order(q_tokens, mink))
+
+
 def _self_score_budget(tokens: np.ndarray, lengths: np.ndarray,
                        rows: np.ndarray, qst: np.ndarray,
                        counts: np.ndarray, mink: int,
-                       threshold: float) -> np.ndarray:
+                       threshold: float,
+                       order: np.ndarray | None = None) -> np.ndarray:
     """Reference's seed-budget heuristic (fsearch.py:2645-2677).
 
     Returns a bool keep-mask over the seed arrays (rows/qst/counts).
@@ -72,29 +132,38 @@ def _self_score_budget(tokens: np.ndarray, lengths: np.ndarray,
     mink-window (desc; ties by position asc — the reference's qsort is
     unstable here), kept while the exclusive cumsum of posting counts
     stays <= threshold * qlen.
+
+    ``order``: optional precomputed ``budget_order(tokens, mink)`` —
+    the chunk-invariant ranking, cached per wave by WaveSeeds.
     """
     B, L = tokens.shape
-    diag_self = _B62_I16[tokens, tokens].astype(np.int64)   # (B, L)
-    cs = np.zeros((B, L + 1), dtype=np.int64)
-    np.cumsum(diag_self, axis=1, out=cs[:, 1:])
     nwin = L - mink + 1
-    kscs = cs[:, mink:] - cs[:, :-mink] if nwin > 0 else np.zeros((B, 0))
+    if nwin <= 0:
+        return np.zeros(len(rows), dtype=bool)
+    if order is None:
+        order = budget_order(tokens, mink)
+    budgets = threshold * lengths.astype(np.float64)
+
+    try:
+        # threaded native sweep (groupby.cpp budget_keep): per row, hist
+        # fill + ordered exclusive cumsum + keep mask — identical to the
+        # numpy block below (tests pin it)
+        from ..native import budget_keep_native
+        return budget_keep_native(rows, qst, counts, order, budgets, B,
+                                  nwin)
+    except Exception:
+        pass        # no compiler: vectorized numpy
 
     # per-seed position histogram: total postings at each (row, qst)
-    hist = np.zeros((B, max(nwin, 1)), dtype=np.int64)
+    hist = np.zeros((B, nwin), dtype=np.int64)
     np.add.at(hist, (rows, qst), counts)
 
-    keep_pos = np.zeros((B, max(nwin, 1)), dtype=bool)
-    budgets = threshold * lengths.astype(np.float64)
-    # vectorized per-row sort by (-ksc, pos)
-    order = np.lexsort((np.broadcast_to(np.arange(max(nwin, 1)), hist.shape),
-                        -kscs)) if nwin > 0 else None
-    if nwin > 0:
-        sorted_hist = np.take_along_axis(hist, order, axis=1)
-        excl = np.zeros_like(sorted_hist)
-        np.cumsum(sorted_hist[:, :-1], axis=1, out=excl[:, 1:])
-        keep_sorted = excl <= budgets[:, None]
-        np.put_along_axis(keep_pos, order, keep_sorted, axis=1)
+    keep_pos = np.zeros((B, nwin), dtype=bool)
+    sorted_hist = np.take_along_axis(hist, order, axis=1)
+    excl = np.zeros_like(sorted_hist)
+    np.cumsum(sorted_hist[:, :-1], axis=1, out=excl[:, 1:])
+    keep_sorted = excl <= budgets[:, None]
+    np.put_along_axis(keep_pos, order, keep_sorted, axis=1)
     return keep_pos[rows, qst]
 
 
@@ -130,27 +199,27 @@ def _xdrop_window(dvals: np.ndarray, valid: np.ndarray, base: np.ndarray):
 
 def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
                         db: SeqDB, index: SeedIndex, alphabets: list,
-                        ssps: str) -> Candidates:
-    """Candidates for a padded query batch against one index chunk."""
-    from ..constants import reduced_alphabet_table
+                        ssps: str,
+                        wave_seeds: WaveSeeds | None = None) -> Candidates:
+    """Candidates for a padded query batch against one index chunk.
 
+    ``wave_seeds``: chunk-invariant precomputes (make_wave_seeds); used
+    only when it matches this chunk's (nc, mink) — output is identical
+    either way."""
     B, L = q_tokens.shape
-    nc = index.nc
 
-    rows_l, buckets_l, qst_l = [], [], []
-    for alpha in alphabets:
-        tbl = reduced_alphabet_table(alpha)
-        r, b, p = hash_seeds_batch(q_tokens, q_lengths, tbl, ssps, nc)
-        rows_l.append(r)
-        buckets_l.append(b)
-        qst_l.append(p)
-    rows = np.concatenate(rows_l)
-    buckets = np.concatenate(buckets_l)
-    qst = np.concatenate(qst_l)
+    if wave_seeds is not None and wave_seeds.matches(index):
+        rows, buckets, qst = (wave_seeds.rows, wave_seeds.buckets,
+                              wave_seeds.qst)
+        order = wave_seeds.order
+    else:
+        ws = make_wave_seeds(q_tokens, q_lengths, alphabets, ssps,
+                             index.nc, index.mink)
+        rows, buckets, qst, order = ws.rows, ws.buckets, ws.qst, ws.order
 
     counts = index.bucket_counts(buckets)
     keep = _self_score_budget(q_tokens, q_lengths, rows, qst, counts,
-                              index.mink, index.threshold)
+                              index.mink, index.threshold, order=order)
     rows, buckets, qst = rows[keep], buckets[keep], qst[keep]
     counts = counts[keep]
 

@@ -287,6 +287,81 @@ class TestFusedCandidates:
         assert len(fused.qrow) == len(staged.qrow) == len(numpy_fb.qrow)
 
 
+class TestWaveSeeds:
+    """Chunk-invariant wave precomputes (candidates.WaveSeeds): reusing
+    the hashed seeds + budget order across chunk indexes must change
+    nothing, and the native budget_keep must equal the numpy block."""
+
+    def test_reuse_across_chunks_identical(self, tmp_path_factory):
+        from swiftortho_tpu.search.candidates import make_wave_seeds
+        corpus = make_corpus(n_taxa=3, n_families=25, seed=11,
+                             min_len=100, max_len=250)
+        from swiftortho_tpu.io_fasta import write_fasta
+        p = tmp_path_factory.mktemp('ws') / 'c.fsa'
+        write_fasta(str(p), corpus.records)
+        db = SeqDB.from_path(str(p))
+        half = len(db) // 2
+        ix0 = build_index(db, 0, half, [AA9], '11111111', 1 << 16)
+        ix1 = build_index(db, half, len(db), [AA9], '11111111', 1 << 16)
+        toks, lens = db.padded_batch(np.arange(len(db)), 512)
+        from swiftortho_tpu.ops.seg import seg_batch_vec
+        toks = seg_batch_vec(toks, lens)
+        ws = make_wave_seeds(toks, lens, [AA9], '11111111', ix0.nc,
+                             ix0.mink)
+        for ix in (ix0, ix1):
+            plain = generate_candidates(toks, lens, db, ix, [AA9],
+                                        '11111111')
+            cached = generate_candidates(toks, lens, db, ix, [AA9],
+                                         '11111111', wave_seeds=ws)
+            assert len(plain.qrow) > 0
+            for f in ('qrow', 'subject', 'score', 'band_q', 'band_s'):
+                assert (getattr(plain, f) == getattr(cached, f)).all(), f
+
+    def test_mismatched_context_recomputes(self, tmp_path_factory):
+        # a context built for a different nc must be ignored, not used
+        from swiftortho_tpu.search.candidates import make_wave_seeds
+        db = _db([('t|a', 'MKVLAWDERTYHACDEFGHIKLMNPQRSTVWY' * 3)])
+        ix = build_index(db, 0, 1, [AA9], '11111111', 1 << 16)
+        toks, lens = db.padded_batch(np.array([0]), 128)
+        from swiftortho_tpu.ops.seg import seg_batch_vec
+        toks = seg_batch_vec(toks, lens)
+        ws_bad = make_wave_seeds(toks, lens, [AA9], '11111111',
+                                 (1 << 16) - 1, ix.mink)
+        assert not ws_bad.matches(ix)
+        a = generate_candidates(toks, lens, db, ix, [AA9], '11111111')
+        b = generate_candidates(toks, lens, db, ix, [AA9], '11111111',
+                                wave_seeds=ws_bad)
+        for f in ('qrow', 'subject', 'score', 'band_q', 'band_s'):
+            assert (getattr(a, f) == getattr(b, f)).all(), f
+
+    def test_budget_keep_native_matches_numpy(self, monkeypatch, rng):
+        import swiftortho_tpu.native as native
+        from swiftortho_tpu.search.candidates import (_self_score_budget,
+                                                      budget_order)
+        B, L, mink = 29, 128, 8
+        toks = rng.integers(65, 90, size=(B, L)).astype(np.uint8)
+        lens = rng.integers(mink, L + 1, size=B).astype(np.int64)
+        nwin = L - mink + 1
+        n = 4000
+        rows = rng.integers(0, B, n).astype(np.int64)
+        qst = np.array([rng.integers(0, max(1, lens[r] - mink + 1))
+                        for r in rows], dtype=np.int64)
+        counts = rng.integers(0, 40, n).astype(np.int64)
+        order = budget_order(toks, mink)
+        assert order.shape == (B, nwin)
+        kn = _self_score_budget(toks, lens, rows, qst, counts, mink, 35,
+                                order=order)
+
+        def boom(*a, **k):
+            raise RuntimeError('off')
+        with monkeypatch.context() as m:
+            m.setattr(native, 'budget_keep_native', boom)
+            kf = _self_score_budget(toks, lens, rows, qst, counts, mink,
+                                    35, order=order)
+        assert np.array_equal(kn, kf)
+        assert 0 < kn.sum() < n
+
+
 class TestRankCutNative:
     def test_matches_numpy_ordering(self, rng):
         """groupby.cpp rank_cut must reproduce the wave ranking exactly:

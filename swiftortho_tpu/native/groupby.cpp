@@ -17,7 +17,9 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <thread>
@@ -276,6 +278,16 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
     };
     std::vector<std::vector<OutRow>> tout(nt);
 
+    // SWNATIVE_PROF=1: per-stage wall accumulated across threads
+    // (expand+sort vs chain sweep) printed to stderr per call —
+    // profiling only, no behavior change
+    const bool prof = [] {
+        const char* e = getenv("SWNATIVE_PROF");
+        return e && *e && *e != '0';
+    }();
+    std::vector<double> t_sort(nt, 0.0), t_chain(nt, 0.0);
+    std::vector<int64_t> n_walk(nt, 0), n_step(nt, 0);
+
     auto fold11 = [](int64_t d) -> int64_t { return (d + 8192) & 0x7FF; };
 
     auto work = [&](unsigned t, int64_t qlo, int64_t qhi) {
@@ -288,6 +300,8 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
         for (int64_t q = qlo; q < qhi; q++) {
             const int64_t npost = qcnt[q + 1] - qcnt[q];
             if (npost == 0) continue;
+            std::chrono::steady_clock::time_point tp0;
+            if (prof) tp0 = std::chrono::steady_clock::now();
             scratch.resize(npost);
             Entry* dst = scratch.data();
             int64_t n = 0;
@@ -329,6 +343,12 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
             }
             std::sort(dst, dst + n, entry_less);
             }
+            std::chrono::steady_clock::time_point tp1;
+            if (prof) {
+                tp1 = std::chrono::steady_clock::now();
+                t_sort[t] += std::chrono::duration<double>(tp1 - tp0)
+                    .count();
+            }
             const int64_t ql = q_len[q];
             const uint8_t* qrow_tok = qtok + q * qpad;
             // sweep runs of equal (sid, diag); per run: dedup qst inline
@@ -363,6 +383,7 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
                     if (!first && p <= x) continue;     // covered: exactly 0
                     const int64_t qlo_b = first ? 0 : x;
                     const int64_t slo_b = first ? 0 : x - diag;
+                    if (prof) n_walk[t]++;
                     // right walk from the seed (strict bounds)
                     int64_t qp = p, sp = p - diag;
                     int64_t score = 0, best = 0, max_qed = qp;
@@ -373,6 +394,7 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
                         else if (score + xdrop < best) break;
                         ++qp; ++sp;
                     }
+                    if (prof) n_step[t] += qp - p;
                     // left walk from seed-1, seeded with the right best
                     qp = p - 1; sp = p - diag - 1;
                     score = best;
@@ -412,6 +434,9 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
                 }
             }
             flush_sid();
+            if (prof)
+                t_chain[t] += std::chrono::duration<double>(
+                    std::chrono::steady_clock::now() - tp1).count();
         }
     };
     {
@@ -419,6 +444,21 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
         for (unsigned t = 0; t < nt; t++)
             threads.emplace_back(work, t, bounds[t], bounds[t + 1]);
         for (auto& th : threads) th.join();
+    }
+    if (prof) {
+        double ts = 0, tc = 0;
+        int64_t nw = 0, ns = 0;
+        for (unsigned t = 0; t < nt; t++) {
+            ts += t_sort[t];
+            tc += t_chain[t];
+            nw += n_walk[t];
+            ns += n_step[t];
+        }
+        fprintf(stderr,
+                "[fused prof] postings=%lld sort=%.3fs chain=%.3fs "
+                "walks=%lld rsteps=%lld (cpu-s summed over %u threads)\n",
+                (long long)total, ts, tc, (long long)nw, (long long)ns,
+                nt);
     }
 
     int64_t w = 0;

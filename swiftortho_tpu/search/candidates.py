@@ -206,6 +206,10 @@ def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
     ``wave_seeds``: chunk-invariant precomputes (make_wave_seeds); used
     only when it matches this chunk's (nc, mink) — output is identical
     either way."""
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get('SWIFTORTHO_PROF_CAND', '') not in ('', '0')
+    _t0 = _time.time() if _prof else 0.0
     B, L = q_tokens.shape
 
     if wave_seeds is not None and wave_seeds.matches(index):
@@ -217,9 +221,12 @@ def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
                              index.nc, index.mink)
         rows, buckets, qst, order = ws.rows, ws.buckets, ws.qst, ws.order
 
+    _t1 = _time.time() if _prof else 0.0
     counts = index.bucket_counts(buckets)
+    _t2 = _time.time() if _prof else 0.0
     keep = _self_score_budget(q_tokens, q_lengths, rows, qst, counts,
                               index.mink, index.threshold, order=order)
+    _t3 = _time.time() if _prof else 0.0
     rows, buckets, qst = rows[keep], buckets[keep], qst[keep]
     counts = counts[keep]
 
@@ -229,6 +236,13 @@ def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
         z = np.zeros(0, dtype=np.int64)
         return Candidates(z, z, z, z, z)
     starts, _ = index.posting_range(buckets)
+    if _prof:
+        _t4 = _time.time()
+        import sys as _sys
+        print('[cand prof] ctx %.2f counts %.2f budget %.2f '
+              'filter+ranges %.2f' % (_t1 - _t0, _t2 - _t1, _t3 - _t2,
+                                      _t4 - _t3), file=_sys.stderr,
+              flush=True)
 
     try:
         # fused native engine (groupby.cpp candidates_fused): expansion +
@@ -237,10 +251,15 @@ def generate_candidates(q_tokens: np.ndarray, q_lengths: np.ndarray,
         # identical to the staged paths below (which remain as fallbacks
         # and as independent oracles for the parity tests)
         from ..native import candidates_fused_native
+        _t5 = _time.time() if _prof else 0.0
         g_qrow, g_sid, g_score, d_fold, d_raw = candidates_fused_native(
             rows, qst, counts, starts, index.sid, index.sst, B,
             q_tokens, db.tokens, db.offsets,
             q_lengths.astype(np.int64), XDROP, MIN_CHAIN_SCORE)
+        if _prof:
+            import sys as _sys
+            print('[cand prof] engine %.2f (wall)'
+                  % (_time.time() - _t5), file=_sys.stderr, flush=True)
         if len(g_score) == 0:
             z = np.zeros(0, dtype=np.int64)
             return Candidates(z, z, z, z, z)

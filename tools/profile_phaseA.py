@@ -22,6 +22,8 @@ def main():
     ap.add_argument('--families', type=int, default=4000)
     ap.add_argument('--workdir', default='/tmp/scale102')
     ap.add_argument('--waves', type=int, default=2)
+    ap.add_argument('--nc', type=int, default=1 << 24,
+                    help='hash buckets (r2 scale methodology: 2^24)')
     args = ap.parse_args()
 
     from swiftortho_tpu.config import SearchConfig
@@ -38,7 +40,7 @@ def main():
         print('corpus gen %.1fs' % (time.time() - t0), flush=True)
     db = SeqDB.from_path(fsa)
     n = len(db)
-    cfg = SearchConfig(expect=1e-5)
+    cfg = SearchConfig(expect=1e-5, nc=args.nc)
     print('corpus %d seqs, chunk=%d -> %d chunks'
           % (n, cfg.effective_chunk(),
              -(-n // cfg.effective_chunk())), flush=True)
@@ -46,7 +48,7 @@ def main():
     from swiftortho_tpu.ops.index import load_index, save_index
     from swiftortho_tpu.search.blastp import IndexSource
     t0 = time.time()
-    idx_prefix = os.path.join(args.workdir, 'idx')
+    idx_prefix = os.path.join(args.workdir, 'idx_nc%d' % args.nc)
     import glob
     cached = sorted(glob.glob(idx_prefix + '.*.npz'))
     if cached:

@@ -25,6 +25,11 @@ def main():
     ap.add_argument('--taxa', type=int, default=25)
     ap.add_argument('--families', type=int, default=4000)
     ap.add_argument('--seed', type=int, default=7)
+    ap.add_argument('--nc', type=int, default=1 << 24,
+                    help='hash bucket count (r2 scale methodology: 2^24; '
+                         'the 120M reference default costs ~34 s/chunk of '
+                         'index build and cache-hostile bucket walks at '
+                         'this corpus size)')
     ap.add_argument('--workdir', default='')
     ap.add_argument('--skip-downstream', action='store_true')
     args = ap.parse_args()
@@ -56,7 +61,7 @@ def main():
     print('backend: %s' % jax.default_backend(), flush=True)
 
     from swiftortho_tpu.search.blastp import blastp_to_file
-    cfg = SearchConfig(expect=1e-5)
+    cfg = SearchConfig(expect=1e-5, nc=args.nc)
     sc = os.path.join(td, 'c.sc')
     t0 = time.time()
     blastp_to_file(fsa, fsa, sc, cfg)
@@ -94,13 +99,14 @@ def main():
     print('MCL: %.1fs  %d groups' % (t_mcl, ngroups), flush=True)
 
     # cluster purity vs the known families
+    # family lives in the fasta *description* ("tax0|g0000 fam000",
+    # corpus.py:76), not in the gene id
     fam_of = {}
     from swiftortho_tpu.io_fasta import iter_fasta
     with open(fsa) as fh:
         for head, _ in iter_fasta(fh):
-            gid = head.split()[0]
-            fam_of[gid] = gid.split('|')[1].split('_')[0] \
-                if '_' in gid.split('|')[1] else gid.split('|')[1][:5]
+            parts = head.split()
+            fam_of[parts[0]] = parts[1] if len(parts) > 1 else '?'
     pure = clustered = 0
     for line in open(clsr):
         genes = line.rstrip('\n').split('\t')

@@ -25,6 +25,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+#include <immintrin.h>
+#define SW_SIMD_WALK 1
+#endif
+
 namespace {
 
 struct Entry {
@@ -80,6 +85,149 @@ void radix56(uint64_t* a, uint64_t* tmp, int64_t n, int64_t* hist) {
     }
     // 4 passes: result is back in `a`
 }
+
+#ifdef SW_SIMD_WALK
+// ---- AVX-512 x-drop walks -------------------------------------------
+// Bit-identical to the scalar walk loops in the chain sweep below
+// (reference ungap semantics, fsearch.py:2454-2494): 16 steps per
+// iteration — masked byte loads (fault-suppressed, so array-edge
+// blocks never read out of bounds), i32 gather from a padded copy of
+// the substitution table, in-register prefix-sum + inclusive max-scan,
+// and a mask scan for the reference's stop-after-the-breaking-step
+// rule.  SWNATIVE_NO_SIMD=1 forces the scalar path (A/B + debugging).
+// tabpad must have 65536 + >=4 readable bytes (gather reads 4 bytes).
+
+// inclusive prefix-sum / max-scan over 16 i32 lanes
+static inline __m512i sw_prefix_add(__m512i v) {
+    const __m512i z = _mm512_setzero_si512();
+    v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, z, 16 - 1));
+    v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, z, 16 - 2));
+    v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, z, 16 - 4));
+    v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, z, 16 - 8));
+    return v;
+}
+
+static inline __m512i sw_scan_max(__m512i v) {
+    const __m512i ninf = _mm512_set1_epi32(INT32_MIN);
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 1));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 2));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 4));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 8));
+    return v;
+}
+
+// one walk block: scores g (lanes >= nv forced to -2^26 so the walk
+// stops at the first invalid lane), running-score carry, best so far.
+// Returns kstop (16 = no stop), updates *carry/*best and, when track
+// is true, *best_lane (first lane achieving the new best, -1 if none).
+static inline int sw_walk_block(__m512i g, int nv, int32_t xdrop,
+                                int32_t* carry, int32_t* best,
+                                int* best_lane) {
+    const __m512i sums =
+        _mm512_add_epi32(sw_prefix_add(g), _mm512_set1_epi32(*carry));
+    const __m512i runmax = _mm512_max_epi32(
+        sw_scan_max(sums), _mm512_set1_epi32(*best));
+    const __mmask16 stopm = _mm512_cmplt_epi32_mask(
+        _mm512_add_epi32(sums, _mm512_set1_epi32(xdrop)), runmax);
+    const int kstop = (int)_tzcnt_u32((uint32_t)stopm | 0x10000u);
+    const int nexec = kstop < nv ? kstop + 1 : nv;
+    const __mmask16 execm = (__mmask16)((1u << nexec) - 1);
+    const int32_t bmax = _mm512_mask_reduce_max_epi32(execm, sums);
+    if (best_lane) *best_lane = -1;
+    if (bmax > *best) {
+        *best = bmax;
+        if (best_lane) {
+            const __mmask16 eqm = _mm512_mask_cmpeq_epi32_mask(
+                execm, sums, _mm512_set1_epi32(bmax));
+            *best_lane = (int)_tzcnt_u32((uint32_t)eqm);
+        }
+    }
+    if (kstop >= 16) {
+        alignas(64) int32_t lanes[16];
+        _mm512_store_si512((__m512i*)lanes, sums);
+        *carry = lanes[15];
+    }
+    return kstop;
+}
+
+static inline __m512i sw_gather_scores(__m128i qb, __m128i sb,
+                                       __mmask16 lanem,
+                                       const int8_t* tabpad) {
+    const __m512i qi = _mm512_cvtepu8_epi32(qb);
+    const __m512i si = _mm512_cvtepu8_epi32(sb);
+    const __m512i idx = _mm512_or_si512(_mm512_slli_epi32(qi, 8), si);
+    __m512i g = _mm512_i32gather_epi32(idx, (const void*)tabpad, 1);
+    g = _mm512_srai_epi32(_mm512_slli_epi32(g, 24), 24);  // low byte
+    return _mm512_mask_mov_epi32(_mm512_set1_epi32(-(1 << 26)), lanem,
+                                 g);
+}
+
+// right walk: steps t = 0..T-1 at qtok[p + t] / stok[s0 + t].
+// Returns best (>= 0); *o_max_qed = query pos of the first best > 0.
+static int32_t sw_walk_right(const uint8_t* qtok, const uint8_t* stok,
+                             int64_t p, int64_t s0, int64_t T,
+                             const int8_t* tabpad, int32_t xdrop,
+                             int64_t* o_max_qed, int64_t* blk) {
+    int32_t best = 0, carry = 0;
+    int64_t max_qed = p;
+    for (int64_t t = 0; t < T; t += 16) {
+        if (blk) (*blk)++;
+        const int nv = (int)std::min<int64_t>(16, T - t);
+        const __mmask16 lm =
+            (__mmask16)(nv >= 16 ? 0xFFFFu : ((1u << nv) - 1));
+        const __m128i qb =
+            _mm_maskz_loadu_epi8(lm, (const void*)(qtok + p + t));
+        const __m128i sb =
+            _mm_maskz_loadu_epi8(lm, (const void*)(stok + s0 + t));
+        const __m512i g = sw_gather_scores(qb, sb, lm, tabpad);
+        int lane;
+        const int kstop = sw_walk_block(g, nv, xdrop, &carry, &best,
+                                        &lane);
+        if (lane >= 0) max_qed = p + t + lane;
+        if (kstop < nv) break;
+        if (nv < 16) break;
+    }
+    *o_max_qed = max_qed;
+    return best;
+}
+
+// left walk: steps t = 0..T-1 at qtok[p0 - t] / stok[sp0 - t], seeded
+// with the right walk's best (both carry and max start there).
+static int32_t sw_walk_left(const uint8_t* qtok, const uint8_t* stok,
+                            int64_t p0, int64_t sp0, int64_t T,
+                            const int8_t* tabpad, int32_t xdrop,
+                            int32_t seed_best, int64_t* blk) {
+    static const __m128i rev16 = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7,
+                                              8, 9, 10, 11, 12, 13, 14,
+                                              15);
+    int32_t best = seed_best, carry = seed_best;
+    for (int64_t t = 0; t < T; t += 16) {
+        if (blk) (*blk)++;
+        const int nv = (int)std::min<int64_t>(16, T - t);
+        // bytes [hi-15 .. hi] loaded ascending, then byte-reversed so
+        // lane i is walk step t + i; invalid (low) bytes masked out of
+        // the load (fault-suppressed) and land at lanes >= nv
+        const __mmask16 loadm =
+            (__mmask16)(nv >= 16 ? 0xFFFFu : (0xFFFFu << (16 - nv)));
+        const __mmask16 lanem =
+            (__mmask16)(nv >= 16 ? 0xFFFFu : ((1u << nv) - 1));
+        const __m128i qb = _mm_shuffle_epi8(
+            _mm_maskz_loadu_epi8(loadm,
+                                 (const void*)(qtok + p0 - t - 15)),
+            rev16);
+        const __m128i sb = _mm_shuffle_epi8(
+            _mm_maskz_loadu_epi8(loadm,
+                                 (const void*)(stok + sp0 - t - 15)),
+            rev16);
+        const __m512i g = sw_gather_scores(qb, sb, lanem, tabpad);
+        const int kstop = sw_walk_block(g, nv, xdrop, &carry, &best,
+                                        nullptr);
+        if (kstop < nv) break;
+        if (nv < 16) break;
+    }
+    return best;
+}
+#endif  // SW_SIMD_WALK
 
 }  // namespace
 
@@ -287,6 +435,18 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
     }();
     std::vector<double> t_sort(nt, 0.0), t_chain(nt, 0.0);
     std::vector<int64_t> n_walk(nt, 0), n_step(nt, 0);
+    std::vector<int64_t> n_blk(nt, 0), n_lstep(nt, 0);
+
+#ifdef SW_SIMD_WALK
+    const bool use_simd = [] {
+        const char* e = getenv("SWNATIVE_NO_SIMD");
+        return !(e && *e && *e != '0');
+    }();
+    // gather reads 4 bytes per lane: pad the 64 KB substitution table
+    std::vector<int8_t> tabpad_v(65536 + 64, 0);
+    std::memcpy(tabpad_v.data(), sub256, 65536);
+    const int8_t* tabpad_ptr = tabpad_v.data();
+#endif
 
     auto fold11 = [](int64_t d) -> int64_t { return (d + 8192) & 0x7FF; };
 
@@ -384,6 +544,32 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
                     const int64_t qlo_b = first ? 0 : x;
                     const int64_t slo_b = first ? 0 : x - diag;
                     if (prof) n_walk[t]++;
+#ifdef SW_SIMD_WALK
+                    if (use_simd) {
+                        const int64_t s0 = p - diag;
+                        int64_t best = 0, max_qed = p;
+                        if (qlo_b < p && p < ql && slo_b < s0 && s0 < sl)
+                            best = sw_walk_right(
+                                qrow_tok, s_tok, p, s0,
+                                std::min(ql - p, sl - s0), tabpad_ptr,
+                                xdrop, &max_qed,
+                                prof ? &n_blk[t] : nullptr);
+                        int64_t best_l = best;
+                        const int64_t p0 = p - 1, sp0 = s0 - 1;
+                        if (p0 > qlo_b && p0 < ql && sp0 > slo_b
+                            && sp0 < sl)
+                            best_l = sw_walk_left(
+                                qrow_tok, s_tok, p0, sp0,
+                                std::min(p0 - qlo_b, sp0 - slo_b),
+                                tabpad_ptr, xdrop, (int32_t)best,
+                                prof ? &n_blk[t] : nullptr);
+                        if (prof) n_step[t] += max_qed - p;
+                        total_sc += best_l;
+                        x = max_qed;
+                        first = false;
+                        continue;
+                    }
+#endif
                     // right walk from the seed (strict bounds)
                     int64_t qp = p, sp = p - diag;
                     int64_t score = 0, best = 0, max_qed = qp;
@@ -406,6 +592,7 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
                         else if (score + xdrop < best_l) break;
                         --qp; --sp;
                     }
+                    if (prof) n_lstep[t] += (p - 1) - qp;
                     total_sc += best_l;
                     x = max_qed;
                     first = false;
@@ -447,18 +634,21 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
     }
     if (prof) {
         double ts = 0, tc = 0;
-        int64_t nw = 0, ns = 0;
+        int64_t nw = 0, ns = 0, nb = 0, nl = 0;
         for (unsigned t = 0; t < nt; t++) {
             ts += t_sort[t];
             tc += t_chain[t];
             nw += n_walk[t];
             ns += n_step[t];
+            nb += n_blk[t];
+            nl += n_lstep[t];
         }
         fprintf(stderr,
                 "[fused prof] postings=%lld sort=%.3fs chain=%.3fs "
-                "walks=%lld rsteps=%lld (cpu-s summed over %u threads)\n",
+                "walks=%lld rsteps=%lld lsteps=%lld blks=%lld "
+                "(cpu-s summed over %u threads)\n",
                 (long long)total, ts, tc, (long long)nw, (long long)ns,
-                nt);
+                (long long)nl, (long long)nb, nt);
     }
 
     int64_t w = 0;

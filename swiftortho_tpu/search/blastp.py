@@ -358,13 +358,16 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
     reference's -l/-u range, fsearch.py:2980-2981).
 
     Chunk-major two-phase structure, mirroring the reference driver
-    (fsearch.py:2988-3051): phase A iterates reference chunk indexes ONE
-    AT A TIME (at most one resident — the streaming/disk-resident story),
-    generating candidates for every query wave against that chunk and
-    spilling them per wave; phase B merges each wave's candidates across
-    chunks, ranks, aligns, applies the accept/early-stop policy, and
-    emits rows in query order.  Output is byte-identical to the old
-    wave-major loop (the per-wave merge across chunks is unchanged).
+    (fsearch.py:2988-3051): phase A iterates reference chunk indexes one
+    at a time (at most TWO resident — the swept chunk plus the one the
+    prefetch thread is materializing; SWIFTORTHO_PREFETCH_INDEX=0
+    restores the reference's strict one-resident find_msav_dsk
+    discipline), generating candidates for every query wave against that
+    chunk and spilling them per wave; phase B merges each wave's
+    candidates across chunks, ranks, aligns, applies the accept/early-
+    stop policy, and emits rows in query order.  Output is byte-identical
+    to the old wave-major loop (the per-wave merge across chunks is
+    unchanged).
 
     ``spill_dir``: spill candidates (and masked wave tokens) to disk so
     phase A's memory is bounded by one chunk index + one wave.
@@ -469,6 +472,7 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
         wave_ready[wi].set()
 
     def _phaseA():
+        pf = None       # one-ahead index prefetch executor (set below)
         try:
             _tA0 = _time.time()
             n_chunks = len(source)
@@ -560,51 +564,93 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
                 from ..ops.index import load_index
                 return load_index(cache_paths[ci])
 
-            for bi, block in enumerate(wave_blocks):
-                for ci in range(n_chunks):
+            # One-ahead index prefetch: while the main producer sweeps
+            # chunk k over the block's waves, a single helper thread
+            # materializes chunk k+1 (block-0 build + npz spill, or a
+            # cache reload on later blocks) — the build/load latency
+            # rides under sweep compute instead of serializing with it.
+            # Exactly two chunk indexes are resident in steady state (the
+            # one being swept + the one being prefetched); the sweep
+            # order is untouched, so output stays byte-identical.
+            # SWIFTORTHO_PREFETCH_INDEX=0 restores strict one-resident
+            # streaming (the reference's find_msav_dsk discipline,
+            # fsearch.py:2727-2805).
+            sched = [(bi, ci) for bi in range(len(wave_blocks))
+                     for ci in range(n_chunks)]
+            use_pf = (_os.environ.get('SWIFTORTHO_PREFETCH_INDEX', '1')
+                      != '0' and len(sched) > 1)
+            idx_wait = idx_bg = 0.0
+            if use_pf:
+                from concurrent.futures import ThreadPoolExecutor
+                pf = ThreadPoolExecutor(1, thread_name_prefix='idxpf')
+
+                def _bg(bi, ci):
+                    nonlocal idx_bg
+                    t0 = _time.time()
+                    ix = chunk_for(bi, ci)
+                    idx_bg += _time.time() - t0
+                    return ix
+
+                fut = pf.submit(_bg, *sched[0])
+
+            for k, (bi, ci) in enumerate(sched):
+                block = wave_blocks[bi]
+                if use_pf:
+                    t0 = _time.time()
+                    index = fut.result()
+                    idx_wait += _time.time() - t0
+                    fut = (pf.submit(_bg, *sched[k + 1])
+                           if k + 1 < len(sched) else None)
+                else:
+                    t0 = _time.time()
                     index = chunk_for(bi, ci)
-                    last = ci == n_chunks - 1
-                    if nprod > 1 and len(block) > 1:
-                        from concurrent.futures import ThreadPoolExecutor
+                    idx_wait += _time.time() - t0
+                last = ci == n_chunks - 1
+                if nprod > 1 and len(block) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
 
-                        def work(wi, _ix=index):
-                            toks, lens = wave_tokens(wi)
-                            if use_ws:
-                                ws = seeds_for(wi, toks, lens, _ix)
-                                return wi, _gen_cands(toks, lens, ref,
-                                                      _ix, alphabets,
-                                                      cfg.seeds,
-                                                      wave_seeds=ws)
-                            return wi, _gen_cands(toks, lens, ref, _ix,
-                                                  alphabets, cfg.seeds)
+                    def work(wi, _ix=index):
+                        toks, lens = wave_tokens(wi)
+                        if use_ws:
+                            ws = seeds_for(wi, toks, lens, _ix)
+                            return wi, _gen_cands(toks, lens, ref,
+                                                  _ix, alphabets,
+                                                  cfg.seeds,
+                                                  wave_seeds=ws)
+                        return wi, _gen_cands(toks, lens, ref, _ix,
+                                              alphabets, cfg.seeds)
 
-                        with ThreadPoolExecutor(nprod) as ex:
-                            for wi, cand in ex.map(work, block):
-                                spill.append(wi, cand)
-                                if last:
-                                    _signal(wi)
-                        # drop the closure (its _ix default pins the
-                        # chunk index) before the next chunk builds,
-                        # preserving max-one-resident
-                        work = None
-                    else:
-                        for wi in block:
-                            toks, lens = wave_tokens(wi)
-                            if use_ws:
-                                cand = _gen_cands(
-                                    toks, lens, ref, index, alphabets,
-                                    cfg.seeds,
-                                    wave_seeds=seeds_for(wi, toks, lens,
-                                                         index))
-                            else:
-                                cand = _gen_cands(toks, lens, ref, index,
-                                                  alphabets, cfg.seeds)
+                    with ThreadPoolExecutor(nprod) as ex:
+                        for wi, cand in ex.map(work, block):
                             spill.append(wi, cand)
                             if last:
                                 _signal(wi)
-                    del index
-                # the block's contexts die with the block (bounded memory)
-                wave_seeds.clear()
+                    # drop the closure (its _ix default pins the
+                    # chunk index) before the next chunk is handed
+                    # out, preserving the residency bound
+                    work = None
+                else:
+                    for wi in block:
+                        toks, lens = wave_tokens(wi)
+                        if use_ws:
+                            cand = _gen_cands(
+                                toks, lens, ref, index, alphabets,
+                                cfg.seeds,
+                                wave_seeds=seeds_for(wi, toks, lens,
+                                                     index))
+                        else:
+                            cand = _gen_cands(toks, lens, ref, index,
+                                              alphabets, cfg.seeds)
+                        spill.append(wi, cand)
+                        if last:
+                            _signal(wi)
+                del index
+                if last:
+                    # the block's contexts die with the block
+                    # (bounded memory)
+                    wave_seeds.clear()
+            if pf is not None:
+                pf.shutdown(wait=False, cancel_futures=True)
             if n_chunks == 0:
                 for wi in range(len(waves)):
                     _signal(wi)
@@ -621,9 +667,16 @@ def blastp_stream(qry: SeqDB, ref: SeqDB, cfg: SearchConfig,
             log_event('search_phaseA', chunks=n_chunks, waves=len(waves),
                       blocks=len(wave_blocks),
                       max_resident_indexes=source.max_resident,
-                      overlap=overlap,
+                      overlap=overlap, prefetch=use_pf,
+                      idx_wait_s=round(idx_wait, 2),
+                      idx_bg_s=round(idx_bg, 2),
                       cand_s=round(_time.time() - _tA0, 2))
         except BaseException as e:          # propagate into the consumer
+            try:        # don't leak the prefetch worker on failure
+                if pf is not None:
+                    pf.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass
             phaseA_err.append(e)
             for ev in wave_ready:
                 ev.set()

@@ -27,7 +27,8 @@ def corpus(tmp_path_factory):
 
 
 class TestStreamedIndex:
-    def test_modes_identical_and_bounded(self, corpus, tmp_path):
+    def test_modes_identical_and_bounded(self, corpus, tmp_path,
+                                         monkeypatch):
         cfg = SearchConfig(**CFG)
         n_chunks = -(-len(corpus) // cfg.effective_chunk())
         assert n_chunks >= 4, 'need a multi-chunk setup to test streaming'
@@ -36,7 +37,17 @@ class TestStreamedIndex:
         resident = list(blastp_stream(corpus, corpus, cfg,
                                       indexes=make_db(corpus, cfg)))
 
-        # streamed build-on-demand, RAM spill
+        # default: one-ahead index prefetch (swept + prefetched resident)
+        src_pf = IndexSource.from_build(corpus, cfg)
+        prefetched = list(blastp_stream(corpus, corpus, cfg,
+                                        indexes=src_pf))
+        assert prefetched == resident
+        assert src_pf.max_resident <= 2, (
+            'prefetch must keep at most two chunk indexes resident, got %d'
+            % src_pf.max_resident)
+
+        # strict streaming (reference find_msav_dsk discipline)
+        monkeypatch.setenv('SWIFTORTHO_PREFETCH_INDEX', '0')
         src = IndexSource.from_build(corpus, cfg)
         streamed = list(blastp_stream(corpus, corpus, cfg, indexes=src))
         assert streamed == resident
@@ -62,7 +73,7 @@ class TestStreamedIndex:
         from_disk = list(blastp_stream(corpus, corpus, cfg, indexes=src))
         resident = list(blastp_stream(corpus, corpus, cfg))
         assert from_disk == resident
-        assert src.max_resident == 1
+        assert src.max_resident <= 2   # swept + prefetched
 
     def test_ref_layout_disk_index_identical(self, corpus, tmp_path):
         """-D interop with the reference's chunked .idx/.soas/.bin DB
@@ -80,7 +91,7 @@ class TestStreamedIndex:
         from_ref = list(blastp_stream(corpus, corpus, cfg, indexes=src))
         resident = list(blastp_stream(corpus, corpus, cfg))
         assert from_ref == resident
-        assert src.max_resident == 1
+        assert src.max_resident <= 2   # swept + prefetched
 
 
 class TestOverlap:
@@ -215,6 +226,13 @@ class TestBlockScheduledPhaseA:
         resident = list(blastp_stream(corpus, corpus, cfg,
                                       indexes=make_db(corpus, cfg)))
         monkeypatch.setenv('SWIFTORTHO_WAVE_BLOCK', '1')
+        # prefetch on (default): cache reloads ride the prefetch thread
+        src_pf = IndexSource.from_build(corpus, cfg)
+        blocked_pf = list(blastp_stream(corpus, corpus, cfg,
+                                        indexes=src_pf))
+        assert blocked_pf == resident
+        assert src_pf.max_resident <= 2
+        monkeypatch.setenv('SWIFTORTHO_PREFETCH_INDEX', '0')
         src = IndexSource.from_build(corpus, cfg)
         blocked = list(blastp_stream(corpus, corpus, cfg, indexes=src))
         assert blocked == resident

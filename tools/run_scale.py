@@ -25,6 +25,12 @@ def main():
     ap.add_argument('--taxa', type=int, default=25)
     ap.add_argument('--families', type=int, default=4000)
     ap.add_argument('--seed', type=int, default=7)
+    ap.add_argument('--min-len', type=int, default=80)
+    ap.add_argument('--max-len', type=int, default=600,
+                    help='r2 scale methodology used 400 (the BASELINE '
+                         '79.5M pairs/s corpus is --taxa 60 '
+                         '--families 4100 --max-len 400 -> 252608 '
+                         'seqs); 600 makes a ~2x harder phase A')
     ap.add_argument('--nc', type=int, default=1 << 24,
                     help='hash bucket count (r2 scale methodology: 2^24; '
                          'the 120M reference default costs ~34 s/chunk of '
@@ -50,7 +56,8 @@ def main():
         write_corpus(fsa, make_corpus(n_taxa=args.taxa,
                                       n_families=args.families,
                                       seed=args.seed,
-                                      min_len=80, max_len=600))
+                                      min_len=args.min_len,
+                                      max_len=args.max_len))
     db = SeqDB.from_path(fsa)
     n = len(db)
     print('corpus: %d seqs (%d taxa x %d families) %.1fs  dir=%s'

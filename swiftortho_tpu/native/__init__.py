@@ -451,7 +451,11 @@ def budget_keep_native(rows: np.ndarray, qst: np.ndarray,
                for a in (rows, qst, counts))
     order = np.ascontiguousarray(order, np.int64)
     budgets = np.ascontiguousarray(budgets, np.float64)
-    assert order.shape == (B, nwin)
+    if order.shape != (B, nwin):
+        # the C++ kernel reads order[B*nwin] unchecked; this is the
+        # trust boundary (asserts vanish under python -O)
+        raise ValueError('order shape %r != (B=%d, nwin=%d)'
+                         % (order.shape, B, nwin))
     keep = np.empty(len(r), np.uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.budget_keep(

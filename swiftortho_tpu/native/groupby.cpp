@@ -167,7 +167,8 @@ static inline __m512i sw_gather_scores(__m128i qb, __m128i sb,
 static int32_t sw_walk_right(const uint8_t* qtok, const uint8_t* stok,
                              int64_t p, int64_t s0, int64_t T,
                              const int8_t* tabpad, int32_t xdrop,
-                             int64_t* o_max_qed, int64_t* blk) {
+                             int64_t* o_max_qed, int64_t* blk,
+                             int64_t* steps) {
     int32_t best = 0, carry = 0;
     int64_t max_qed = p;
     for (int64_t t = 0; t < T; t += 16) {
@@ -183,6 +184,10 @@ static int32_t sw_walk_right(const uint8_t* qtok, const uint8_t* stok,
         int lane;
         const int kstop = sw_walk_block(g, nv, xdrop, &carry, &best,
                                         &lane);
+        // executed-lane count, comparable with the scalar path's
+        // per-iteration rsteps (SWNATIVE_NO_SIMD A/B parity of the
+        // [fused prof] line)
+        if (steps) *steps += kstop < nv ? kstop + 1 : nv;
         if (lane >= 0) max_qed = p + t + lane;
         if (kstop < nv) break;
         if (nv < 16) break;
@@ -196,7 +201,8 @@ static int32_t sw_walk_right(const uint8_t* qtok, const uint8_t* stok,
 static int32_t sw_walk_left(const uint8_t* qtok, const uint8_t* stok,
                             int64_t p0, int64_t sp0, int64_t T,
                             const int8_t* tabpad, int32_t xdrop,
-                            int32_t seed_best, int64_t* blk) {
+                            int32_t seed_best, int64_t* blk,
+                            int64_t* steps) {
     static const __m128i rev16 = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7,
                                               8, 9, 10, 11, 12, 13, 14,
                                               15);
@@ -222,6 +228,7 @@ static int32_t sw_walk_left(const uint8_t* qtok, const uint8_t* stok,
         const __m512i g = sw_gather_scores(qb, sb, lanem, tabpad);
         const int kstop = sw_walk_block(g, nv, xdrop, &carry, &best,
                                         nullptr);
+        if (steps) *steps += kstop < nv ? kstop + 1 : nv;
         if (kstop < nv) break;
         if (nv < 16) break;
     }
@@ -553,7 +560,8 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
                                 qrow_tok, s_tok, p, s0,
                                 std::min(ql - p, sl - s0), tabpad_ptr,
                                 xdrop, &max_qed,
-                                prof ? &n_blk[t] : nullptr);
+                                prof ? &n_blk[t] : nullptr,
+                                prof ? &n_step[t] : nullptr);
                         int64_t best_l = best;
                         const int64_t p0 = p - 1, sp0 = s0 - 1;
                         if (p0 > qlo_b && p0 < ql && sp0 > slo_b
@@ -562,8 +570,8 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
                                 qrow_tok, s_tok, p0, sp0,
                                 std::min(p0 - qlo_b, sp0 - slo_b),
                                 tabpad_ptr, xdrop, (int32_t)best,
-                                prof ? &n_blk[t] : nullptr);
-                        if (prof) n_step[t] += max_qed - p;
+                                prof ? &n_blk[t] : nullptr,
+                                prof ? &n_lstep[t] : nullptr);
                         total_sc += best_l;
                         x = max_qed;
                         first = false;

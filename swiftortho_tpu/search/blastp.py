@@ -181,19 +181,27 @@ def _align_pairs(q_tokens, q_lengths, db: SeqDB, qrow, subject,
 
 
 class IndexSource:
-    """Chunk-index provider that keeps AT MOST ONE chunk index resident —
-    the TPU analog of the reference's disk-resident ``find_msav_dsk``
-    (lib/fsearch.py:2727-2805): every iteration materializes one chunk,
-    hands it out, and drops it before the next.
+    """Chunk-index provider that materializes ONE chunk index per
+    ``get()`` — the TPU analog of the reference's disk-resident
+    ``find_msav_dsk`` (lib/fsearch.py:2727-2805): every iteration
+    materializes one chunk, hands it out, and drops it before the next.
+    Under the default one-ahead prefetch in ``blastp_stream``
+    (``SWIFTORTHO_PREFETCH_INDEX=1``) the stream holds at most TWO
+    chunks resident in steady state; ``SWIFTORTHO_PREFETCH_INDEX=0``
+    restores the strict at-most-one discipline.
 
     ``max_resident`` is instrumented so tests can assert bounded memory.
     """
 
     def __init__(self, n_chunks: int, get, track: bool = True,
                  cheap_reget: bool = False):
+        import threading
         self.n_chunks = n_chunks
         self._get = get
         self._track = track
+        # get() may run on the prefetch thread while _dec fires on the
+        # phase-A thread; += / -= are not atomic in Python
+        self._lock = threading.Lock()
         # re-materializing a chunk is cheap for disk loads / resident
         # lists; a from_build source pays a full rebuild, so the block
         # scheduler disk-caches it instead of re-getting
@@ -209,8 +217,9 @@ class IndexSource:
         import weakref
         ix = self._get(ci)
         if self._track:
-            self.resident += 1
-            self.max_resident = max(self.max_resident, self.resident)
+            with self._lock:
+                self.resident += 1
+                self.max_resident = max(self.max_resident, self.resident)
             weakref.finalize(ix, self._dec)
         return ix
 
@@ -221,7 +230,8 @@ class IndexSource:
             del ix
 
     def _dec(self):
-        self.resident -= 1
+        with self._lock:
+            self.resident -= 1
 
     @classmethod
     def from_list(cls, indexes: list) -> 'IndexSource':

@@ -66,12 +66,30 @@ def _tpu_worker():
     # NOTE: block_until_ready does NOT force completion through the axon
     # tunnel; only a host fetch does, and the first fetch absorbs a ~40-90s
     # lazy warm cost.  Warm with a real fetch, then time fresh work.
+    tw = time.time()
     chk = int(np.asarray(run(0, t0, t1, l0, l1)))
+    warm_s = time.time() - tw
+
+    # session-condition probes (VERDICT r4 item 6): cross-round
+    # vs_baseline swings must be attributable to tunnel/session state vs
+    # code.  dispatch_ms = median round-trip of a trivial jitted op
+    # (compile excluded); recorded alongside every measurement.
+    tiny = jax.jit(lambda x: x + 1)
+    _ = int(np.asarray(tiny(jnp.int32(0))))          # compile + warm
+    dts = []
+    for i in range(10):
+        td = time.time()
+        _ = int(np.asarray(tiny(jnp.int32(i))))
+        dts.append(time.time() - td)
+    dispatch_ms = sorted(dts)[len(dts) // 2] * 1e3
+
     best = 0.0
+    trials = []
     for trial in (1, 2, 3):
         tt = time.time()
         r = int(np.asarray(run(trial, t0, t1, l0, l1)))
         dt = (time.time() - tt) / ITERS
+        trials.append(round(CELLS / dt, 1))
         best = max(best, CELLS / dt)
 
     # real-chip correctness gate: every output field of the MEASURED
@@ -120,7 +138,10 @@ def _tpu_worker():
         pass        # no g++/oracle .so: skip the gate; anything else
         # (shape bugs, chip faults) must fail LOUDLY, not skip the gate
     print(json.dumps({'cells_per_s': best if parity else 0.0,
-                      'chk': chk, 'parity': parity}), flush=True)
+                      'chk': chk, 'parity': parity,
+                      'warm_s': round(warm_s, 1),
+                      'dispatch_ms': round(dispatch_ms, 1),
+                      'trials': trials}), flush=True)
 
 
 def _cpu_worker():
@@ -190,7 +211,17 @@ def main():
     vs = (tpu_v / cpu_v) if (tpu_v and cpu_v) else 0.0
     out = {'metric': 'sw_bandcell_updates_per_s',
            'value': round(tpu_v, 1), 'unit': 'cells/s',
-           'vs_baseline': round(vs, 2)}
+           'vs_baseline': round(vs, 2),
+           # session conditions (VERDICT r4 item 6): the single-core C++
+           # oracle rate is a fixed host probe (host load/turbo state),
+           # warm_s/dispatch_ms pin the tunnel state, trials expose
+           # within-session spread — so cross-round vs_baseline swings
+           # are attributable
+           'session': {
+               'host_cells_per_s': round(cpu_v, 1),
+               'warm_s': tpu.get('warm_s') if tpu else None,
+               'dispatch_ms': tpu.get('dispatch_ms') if tpu else None,
+               'trials': tpu.get('trials') if tpu else None}}
     if tpu is None:
         # distinguish "chip unreachable" from "kernel slow/wrong": the
         # axon relay has shown multi-hour UNAVAILABLE outages; the last

@@ -4,8 +4,9 @@ Behavioral contract: reference scripts/orth2phy.py: rows 'O\\tq\\ts\\t...'
 (our pipeline's 'OT' rows are accepted too); families anchor on the
 reference taxon (default: most genes): family(g_ref) = [g_ref] + partners;
 only families of the maximum size (covering all represented taxa) are
-kept; each family is aligned (center-star here, muscle in the reference)
-and per-taxon rows concatenated.  Unlike rbh2phy there is no gap padding
+kept; each family is aligned (external famsa/mafft/muscle when on PATH
+— the reference's aligners — else the built-in center-star) and
+per-taxon rows concatenated.  Unlike rbh2phy there is no gap padding
 for absent taxa — full-size families make it unnecessary.
 """
 
@@ -15,7 +16,7 @@ from collections import Counter
 from typing import Dict, Iterable, List, Tuple
 
 from ..io_fasta import SeqDB
-from .msa import center_star_msa
+from .exttools import align_family
 
 
 def orth_families(orth_lines: Iterable[str], db: SeqDB,
@@ -49,7 +50,7 @@ def orth2phy(orth_lines: Iterable[str], db: SeqDB, ref_taxon: str = '',
         fam = [g for g in fam if g in id2i]
         if len(fam) < 2:
             continue
-        aln = center_star_msa([db.seq_str(id2i[g]) for g in fam])
+        aln = align_family(fam, [db.seq_str(id2i[g]) for g in fam])
         for g, row in zip(fam, aln):
             tree.setdefault(g.split(sep)[0], []).append(row)
     return [(tax, ''.join(rows)) for tax, rows in tree.items()]

@@ -9,7 +9,9 @@ Behavioral contract:
   the reverse direction confirms it; genes RBH-confirmed in >= 90% of taxa
   form families; families are aligned and concatenated per taxon with
   all-gap padding for absent taxa.  The reference shells out to
-  famsa/mafft/muscle; this framework uses its own center-star MSA.
+  famsa/mafft/muscle (rbh2phy.py:203-214); this framework uses those
+  same tools when they are on PATH (analysis/exttools.py reproduces the
+  probe order and argv) and its own center-star MSA otherwise.
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ from collections import Counter
 from typing import Dict, Iterable, Iterator, List, Tuple
 
 from ..io_fasta import SeqDB
-from .msa import center_star_msa
+from .exttools import align_family
 
 
 def _m8_groups(lines: Iterable[str]) -> Iterator[List[List[str]]]:
@@ -145,7 +147,7 @@ def rbh2phy(sc_lines: Iterable[str], db: SeqDB, ref_taxon: str = '',
     tree: Dict[str, List[str]] = {}
     for fam in fams:
         seqs = [db.seq_str(id2i[g]) for g in fam]
-        aln = center_star_msa(seqs)
+        aln = align_family(fam, seqs)
         width = len(aln[0]) if aln else 0
         visit = set()
         for g, row in zip(fam, aln):

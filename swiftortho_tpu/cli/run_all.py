@@ -3,7 +3,9 @@
 search -> orthology -> clustering -> pan-genome -> RBH species tree
 [-> operon clustering], all in-process (the reference shells out per
 stage, scripts/run_all.py:104-243).  External trimal/fasttree/MSA tools
-are replaced by the framework's own trim/NJ/center-star implementations.
+are used when present on PATH (analysis/exttools.py reproduces the
+reference invocations); the framework's own trim/NJ/center-star
+implementations are the fallback.
 
 Usage: python -m swiftortho_tpu.cli.run_all -i merged.fsa [-p operons] ...
 Outputs in <input>_results/: .sc .opc .clsr .pan .aln.trim .nwk
@@ -164,20 +166,36 @@ def main(argv=None):
         pan_report(db, fh, out, ts=float(args['-l']), tc=float(args['-u']))
     print('pan-genome analysis time:', time() - t0)
 
-    # 5. RBH species tree (own MSA + trim + NJ)
+    # 5. RBH species tree: MSA (external famsa/mafft/muscle via rbh2phy
+    # when on PATH) -> trim (trimal -automated1 | built-in gap-fraction
+    # trim) -> tree (fasttree, reference flag set | built-in NJ).
+    # Reference: scripts/run_all.py:207-221.
     t0 = time()
+    from ..analysis.exttools import tree_from_file, trim_alignment_file
     with open(sc_path) as fh:
         recs = rbh2phy(fh, db, ref_taxon=args['-r'])
+    raw_path = '%s/%s.aln' % (res, sfx)
     aln_path = '%s/%s.aln.trim' % (res, sfx)
     nwk_path = '%s/%s.nwk' % (res, sfx)
     if recs:
         names = [t for t, _ in recs]
-        rows = trim_alignment([s for _, s in recs])
-        with open(aln_path, 'w') as out:
-            for t_, s_ in zip(names, rows):
+        with open(raw_path, 'w') as out:
+            for t_, s_ in zip(names, (s for _, s in recs)):
                 out.write('>%s\n%s\n' % (t_, s_))
+        if trim_alignment_file(raw_path, aln_path):
+            with open(aln_path) as fh:
+                trimmed = {h.split()[0]: s for h, s in iter_fasta(fh)}
+            rows = [trimmed[t_] for t_ in names]
+        else:
+            rows = trim_alignment([s for _, s in recs])
+            with open(aln_path, 'w') as out:
+                for t_, s_ in zip(names, rows):
+                    out.write('>%s\n%s\n' % (t_, s_))
+        nwk = tree_from_file(aln_path)
+        if nwk is None:
+            nwk = tree_from_alignment(names, rows)
         with open(nwk_path, 'w') as out:
-            out.write(tree_from_alignment(names, rows) + '\n')
+            out.write(nwk + '\n')
     print('species tree construction time:', time() - t0)
 
     # 6. operon clustering (optional)

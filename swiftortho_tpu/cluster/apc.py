@@ -381,12 +381,13 @@ def apc_cluster_faithful(n: int, ei: np.ndarray, ej: np.ndarray,
 
 def apc_cluster(n: int, ei: np.ndarray, ej: np.ndarray, w: np.ndarray,
                 n_taxa: int, damp: float = 0.5, convit: int = 15,
-                itr: int = 100) -> List[List[int]]:
+                itr: int = 100, pref: float | None = None) -> List[List[int]]:
     """AP over an undirected edge list; returns clusters (>= 1 member) as
     ascending id lists ordered by smallest member."""
     if len(ei) == 0:
         return []
-    pref = -20.0 * n_taxa                    # fc2mat preference (:840-848)
+    if pref is None:
+        pref = -20.0 * n_taxa                # fc2mat preference (:840-848)
     i_all = np.concatenate([ei, ej, np.arange(n)])
     k_all = np.concatenate([ej, ei, np.arange(n)])
     s_all = np.concatenate([w, w, np.full(n, pref)]).astype(np.float32)
@@ -403,3 +404,32 @@ def apc_cluster(n: int, ei: np.ndarray, ej: np.ndarray, w: np.ndarray,
         out.append(members)
     out.sort(key=lambda cl: cl[0])
     return out
+
+
+def sap_cluster(n: int, ei: np.ndarray, ej: np.ndarray, w: np.ndarray,
+                n_taxa: int, damp: float = 0.9, convit: int = 15,
+                itr: int = 200) -> List[List[int]]:
+    """Sparse-AP clustering with the reference SAP branch's contract
+    (find_cluster.py:1725-1751): edge weights min-max normalized to
+    [0, 1] (``(z - min) / (max - min)``), per-node preference
+    ``-10 * n_taxa`` (:1737-1738 — half the APC branch's -20), sparse AP
+    over exactly the edge support.  The reference delegates the updates
+    to pysapc's SAP (damping default 0.9, converged after 15 stable
+    sweeps); pysapc is absent in both environments (import verified
+    failing), so the updates run on this framework's own sparse
+    edge-list AP core — the same R/A message recurrences on the same
+    sparse support, textbook row-max.
+
+    Deviations, named: (a) uniform-weight input (max == min) normalizes
+    to 0.0 here; the reference divides by zero and NaN-poisons pysapc.
+    (b) the reference groups rows directly by exemplar label
+    (:1740-1749); here exemplar chains are closed with connected
+    components like the APC branch — identical whenever AP converged
+    (every exemplar then labels itself), a superset merge otherwise.
+    """
+    if len(ei) == 0:
+        return []
+    lo, hi = float(w.min()), float(w.max())
+    wn = (w - lo) / (hi - lo) if hi > lo else np.zeros_like(w)
+    return apc_cluster(n, ei, ej, wn, n_taxa, damp=damp, convit=convit,
+                       itr=itr, pref=-10.0 * n_taxa)

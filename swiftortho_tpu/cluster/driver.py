@@ -118,7 +118,11 @@ def find_cluster_stream(lines: Iterable[str],
     cfg = cfg or ClusterConfig()
     faithful = cfg.faithful or (
         os.environ.get('SWIFTORTHO_APC_FAITHFUL', '') not in ('', '0'))
-    if faithful and cfg.algorithm in ('apc', 'sap'):
+    # faithful mode replicates the reference's apclust_blk streaming
+    # quirks; the reference's sap branch has no runnable counterpart
+    # (pysapc absent there too), so -a sap always takes the sparse-AP
+    # contract path below
+    if faithful and cfg.algorithm == 'apc':
         from .apc import apc_cluster_faithful
         names, ei, ej, w, n_taxa = parse_graph_ordered(lines)
         if len(names) == 0:
@@ -138,7 +142,12 @@ def find_cluster_stream(lines: Iterable[str],
         clusters = mcl_cluster(n, ei, ej, w, inflation=cfg.inflation,
                                prune=cfg.prune, max_dense=cfg.max_dense,
                                labels=labels, ckpt_dir=cfg.ckpt_dir)
-    elif cfg.algorithm in ('apc', 'sap'):
+    elif cfg.algorithm == 'sap':
+        # reference SAP branch (find_cluster.py:1725-1751): min-max
+        # normalized weights, preference -10 * n_taxa, sparse AP
+        from .apc import sap_cluster
+        clusters = sap_cluster(n, ei, ej, w, n_taxa)
+    elif cfg.algorithm == 'apc':
         # Reference: -b > 0 selects the blocked apclust_blk
         # (find_cluster.py:1705-1711).  Blocked and in-memory paths give
         # identical clusters (tested), so we only pay the blocked sweeps

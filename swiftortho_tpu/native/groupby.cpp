@@ -22,6 +22,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <thread>
 #include <vector>
 
@@ -443,6 +444,9 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
     std::vector<double> t_sort(nt, 0.0), t_chain(nt, 0.0);
     std::vector<int64_t> n_walk(nt, 0), n_step(nt, 0);
     std::vector<int64_t> n_blk(nt, 0), n_lstep(nt, 0);
+    // per-thread CPU time at thread exit: busy% = cpu / section wall
+    // answers "is the engine actually saturating its cores?"
+    std::vector<double> t_cpu(nt, 0.0);
 
 #ifdef SW_SIMD_WALK
     const bool use_simd = [] {
@@ -633,7 +637,13 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
                 t_chain[t] += std::chrono::duration<double>(
                     std::chrono::steady_clock::now() - tp1).count();
         }
+        if (prof) {
+            struct timespec tsp;
+            if (clock_gettime(CLOCK_THREAD_CPUTIME_ID, &tsp) == 0)
+                t_cpu[t] = tsp.tv_sec + tsp.tv_nsec * 1e-9;
+        }
     };
+    const auto sec0 = std::chrono::steady_clock::now();
     {
         std::vector<std::thread> threads;
         for (unsigned t = 0; t < nt; t++)
@@ -641,7 +651,9 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
         for (auto& th : threads) th.join();
     }
     if (prof) {
-        double ts = 0, tc = 0;
+        const double wall = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - sec0).count();
+        double ts = 0, tc = 0, cpu = 0, bmin = 1e30, bmax = 0;
         int64_t nw = 0, ns = 0, nb = 0, nl = 0;
         for (unsigned t = 0; t < nt; t++) {
             ts += t_sort[t];
@@ -650,13 +662,20 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
             ns += n_step[t];
             nb += n_blk[t];
             nl += n_lstep[t];
+            cpu += t_cpu[t];
+            bmin = std::min(bmin, t_cpu[t]);
+            bmax = std::max(bmax, t_cpu[t]);
         }
+        const double sat = wall > 0 ? 100.0 * cpu / (nt * wall) : 0.0;
         fprintf(stderr,
                 "[fused prof] postings=%lld sort=%.3fs chain=%.3fs "
                 "walks=%lld rsteps=%lld lsteps=%lld blks=%lld "
-                "(cpu-s summed over %u threads)\n",
+                "(cpu-s summed over %u threads) wall=%.3fs cpu=%.3fs "
+                "sat=%.0f%% thr-busy=%.0f-%.0f%%\n",
                 (long long)total, ts, tc, (long long)nw, (long long)ns,
-                (long long)nl, (long long)nb, nt);
+                (long long)nl, (long long)nb, nt, wall, cpu, sat,
+                wall > 0 ? 100.0 * bmin / wall : 0.0,
+                wall > 0 ? 100.0 * bmax / wall : 0.0);
     }
 
     int64_t w = 0;

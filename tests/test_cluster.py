@@ -114,6 +114,53 @@ class TestAPC:
         assert sorted(map(tuple, spill)) == sorted(map(tuple, base))
 
 
+class TestSAP:
+    """Reference SAP branch contract (find_cluster.py:1725-1751) on the
+    framework's sparse-AP core (cluster/apc.sap_cluster): min-max
+    normalized weights, preference -10 * n_taxa."""
+
+    def test_two_groups(self):
+        from swiftortho_tpu.cluster.apc import sap_cluster
+        ei, ej, w = _two_cliques(wab=5.0, bridge=0.01)
+        cl = sap_cluster(8, ei, ej, w, n_taxa=2)
+        parts = sorted(map(tuple, cl))
+        assert (0, 1, 2, 3) in parts and (4, 5, 6, 7) in parts
+
+    def test_affine_weight_invariance(self):
+        # the reference normalizes to (z - min) / (max - min)
+        # (find_cluster.py:1726-1733), so clusters are invariant under
+        # any positive affine rescale of the weights — NOT true of the
+        # APC branch, which consumes raw weights; this is the observable
+        # algorithmic difference between -a apc and -a sap
+        from swiftortho_tpu.cluster.apc import sap_cluster
+        ei, ej, w = _two_cliques(wab=5.0, bridge=0.01)
+        a = sap_cluster(8, ei, ej, w, n_taxa=2)
+        b = sap_cluster(8, ei, ej, w * 37.0 + 11.0, n_taxa=2)
+        assert a == b
+
+    def test_uniform_weights_no_nan(self):
+        # documented deviation: max == min normalizes to 0.0 here; the
+        # reference divides by zero (c = 0) and NaN-poisons pysapc
+        from swiftortho_tpu.cluster.apc import sap_cluster
+        ei, ej, w = _two_cliques()
+        cl = sap_cluster(8, ei, ej, np.ones_like(w), n_taxa=2)
+        assert sorted(x for c in cl for x in c) == list(range(8))
+
+    def test_driver_dispatch(self):
+        lines = []
+        for base, tag in ((0, 'a'), (4, 'b')):
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    lines.append('t%d|%s%d\tt%d|%s%d\t5.0\n'
+                                 % (i, tag, base + i, j, tag, base + j))
+        lines.append('t0|a0\tt0|b4\t0.01\n')
+        groups = [set(g.split('\t')) for g in
+                  (ln.rstrip('\n') for ln in find_cluster_stream(
+                      iter(lines), ClusterConfig(algorithm='sap')))]
+        assert {'t0|a0', 't1|a1', 't2|a2', 't3|a3'} in groups
+        assert {'t0|b4', 't1|b5', 't2|b6', 't3|b7'} in groups
+
+
 class TestDriver:
     def test_parse_graph(self):
         lines = ['OT\ta|1\tb|1\t1.5\n', 'IP\ta|1\ta|2\t2.0\n',

@@ -67,6 +67,16 @@ def main():
     import jax
     print('backend: %s' % jax.default_backend(), flush=True)
 
+    # absorb the per-process tunnel warm (first host fetch of a session
+    # costs 40-600 s, unrelated to the pipeline) BEFORE timing: a
+    # throwaway on-device op + fetch, logged so runs are comparable
+    t0 = time.time()
+    import jax.numpy as jnp
+    _ = np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros(8, jnp.int32)))
+    warm_s = time.time() - t0
+    print('tunnel warm: %.1fs' % warm_s, flush=True)
+    log_event('run_scale_warm', seconds=round(warm_s, 1))
+
     from swiftortho_tpu.search.blastp import blastp_to_file
     cfg = SearchConfig(expect=1e-5, nc=args.nc)
     sc = os.path.join(td, 'c.sc')

@@ -138,6 +138,39 @@ def cmd_merge(argv):
     return 0
 
 
+def _ensure_obo(path):
+    """Reference auto-fetch (scripts/pan_goterm.py:62-66): when go.obo
+    is absent the reference runs ``wget -c http://current.geneontology
+    .org/ontology/go.obo``.  Same behavior here via urllib, preserving
+    the flag surface; zero-egress environments get a clear actionable
+    failure instead of a FileNotFoundError."""
+    import os
+    if os.path.isfile(path):
+        return True
+    url = 'http://current.geneontology.org/ontology/go.obo'
+    print('pan_goterm: %s not found; fetching %s' % (path, url),
+          file=sys.stderr)
+    try:
+        import urllib.request
+        with urllib.request.urlopen(url, timeout=30) as r, \
+                open(path, 'wb') as out:
+            while True:
+                blk = r.read(1 << 20)
+                if not blk:
+                    break
+                out.write(blk)
+        return True
+    except Exception as exc:
+        print('pan_goterm: download failed (%s); this environment may '
+              'have no network egress — pass a local obo file with '
+              '-o path/to/go.obo' % exc, file=sys.stderr)
+        try:
+            os.remove(path)                      # no partial files
+        except OSError:
+            pass
+        return False
+
+
 def cmd_pan_goterm(argv):
     from ..analysis.goterm import (GoDag, goterm_profile, pan_type_map)
     args = parse_args(['x'] + argv, {'-i': '', '-t': '', '-o': 'go.obo',
@@ -145,6 +178,8 @@ def cmd_pan_goterm(argv):
     if not args['-i'] or not (args['-t'] or (args['-p'] and args['-c'])):
         print('usage: pan_goterm -i annot.txt (-t type.txt | -p foo.pan '
               '-c foo.clsr) [-o go.obo]')
+        return 1
+    if not _ensure_obo(args['-o']):
         return 1
     with open(args['-o']) as fh:
         dag = GoDag(fh)

@@ -66,6 +66,30 @@ class TestCliPipeline:
         r = _run(['swiftortho_tpu.cli.scripts', 'nonsense'])
         assert r.returncode == 1
 
+    def test_pan_goterm_missing_obo_fetch_fails_clearly(self, tmp_path):
+        # reference auto-fetch surface (pan_goterm.py:62-66): a missing
+        # go.obo triggers a download attempt; in this zero-egress env
+        # that must fail FAST with an actionable message, not a
+        # FileNotFoundError traceback (urlopen patched out so the test
+        # never touches the network even where egress exists)
+        annot = tmp_path / 'a.txt'
+        annot.write_text('g1\tGO:0000001\n')
+        typ = tmp_path / 't.txt'
+        typ.write_text('1\tcore\tg1\n')
+        code = (
+            "import sys, urllib.request\n"
+            "def boom(*a, **k): raise OSError('no egress')\n"
+            "urllib.request.urlopen = boom\n"
+            "from swiftortho_tpu.cli.scripts import main\n"
+            "sys.exit(main(['pan_goterm', '-i', %r, '-t', %r,"
+            " '-o', %r]))\n"
+            % (str(annot), str(typ), str(tmp_path / 'go.obo')))
+        r = subprocess.run([sys.executable, '-c', code], env=ENV,
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 1
+        assert 'download failed' in r.stderr
+        assert not (tmp_path / 'go.obo').exists()
+
     def test_joined_flag_form(self, corpus_file, tmp_path):
         # reference accepts '-kvalue' (no space)
         sc = str(tmp_path / 'j.sc')

@@ -14,10 +14,13 @@ runner-up — the textbook update the reference approximates — so cluster
 assignments can differ on near-tie margins.  Measured on the shared
 parity corpus (4 taxa x 40 families, tests/test_ref_parity.py): 37/40
 reference groups identical (92.5%); the textbook max splits the other 3
-into finer subsets.  ``apc_cluster_faithful`` (opt-in:
-``SWIFTORTHO_APC_FAITHFUL=1`` or ClusterConfig.faithful) replicates the
-reference's streaming quirks bit-for-bit instead — partition-identical to
-the runnable reference, enforced by TestFindClusterAPC.
+into finer subsets.  ``apc_cluster_faithful`` replicates the reference's
+streaming quirks bit-for-bit instead — partition-identical to the
+runnable reference, enforced by TestFindClusterAPC — and is the DRIVER
+DEFAULT as of r5 (measured 1.49x over textbook at ~100k-graph scale,
+BASELINE.md r5; quirks are the spec).  ``SWIFTORTHO_APC_FAITHFUL=0`` or
+``ClusterConfig(faithful=False)`` selects the textbook mode; the direct
+``apc_cluster``/``apc_cluster_blocked`` functions stay textbook.
 """
 
 from __future__ import annotations

@@ -116,8 +116,11 @@ def find_cluster_stream(lines: Iterable[str],
     import os
 
     cfg = cfg or ClusterConfig()
-    faithful = cfg.faithful or (
-        os.environ.get('SWIFTORTHO_APC_FAITHFUL', '') not in ('', '0'))
+    # faithful (reference-quirk-exact) APC is the default (r5); the env
+    # var overrides the config field in either direction ('0' selects
+    # the textbook fast mode, anything else forces faithful)
+    env = os.environ.get('SWIFTORTHO_APC_FAITHFUL', '')
+    faithful = cfg.faithful if env == '' else env != '0'
     # faithful mode replicates the reference's apclust_blk streaming
     # quirks; the reference's sap branch has no runnable counterpart
     # (pysapc absent there too), so -a sap always takes the sparse-AP

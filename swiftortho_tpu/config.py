@@ -71,10 +71,15 @@ class ClusterConfig:
     component_batch: int = 10**7  # -b max edges per MCL sub-problem
     max_dense: int = 4096         # dense-MCL component size cap (ours)
     ckpt_dir: str | None = None   # resumable-MCL checkpoint dir (ours)
-    # opt-in: replicate the reference APC's order-dependent streaming-max
-    # quirks bit-for-bit (cluster/apc.apc_cluster_faithful) instead of
-    # the textbook exact row max; also via SWIFTORTHO_APC_FAITHFUL=1
-    faithful: bool = False
+    # default (r5): replicate the reference APC's order-dependent
+    # streaming-max quirks bit-for-bit (cluster/apc.apc_cluster_faithful)
+    # — partition-identical to the runnable reference, and measured only
+    # 1.49x slower than the textbook mode at ~100k-graph scale
+    # (BASELINE.md r5; quirks are the spec).  faithful=False or
+    # SWIFTORTHO_APC_FAITHFUL=0 selects the textbook exact row max
+    # (the documented fast mode; SWIFTORTHO_APC_FAITHFUL=1 forces
+    # faithful regardless of this field).
+    faithful: bool = True
 
 
 @dataclass

@@ -459,6 +459,14 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
     const int8_t* tabpad_ptr = tabpad_v.data();
 #endif
 
+    // SWNATIVE_NO_PFETCH=1 disables the sweep's subject-window
+    // prefetch (A/B knob: the prefetch wins ~1.5x on an uncontended
+    // call but adds bandwidth pressure under producer oversubscription)
+    const bool use_pfetch = [] {
+        const char* e = getenv("SWNATIVE_NO_PFETCH");
+        return !(e && *e && *e != '0');
+    }();
+
     auto fold11 = [](int64_t d) -> int64_t { return (d + 8192) & 0x7FF; };
 
     auto work = [&](unsigned t, int64_t qlo, int64_t qhi) {
@@ -555,7 +563,7 @@ void candidates_fused(const int64_t* rows, const int64_t* qst,
                     // ahead; a lookahead inside the current run is
                     // harmless (same window, already warm), and
                     // _mm_prefetch cannot fault on stale addresses.
-                    if (k + 8 < n) {
+                    if (use_pfetch && k + 8 < n) {
                         const Entry& e = dst[k + 8];
                         const uint8_t* sp = dbtok + db_offsets[e.sid]
                             + ((int64_t)e.qst - (int64_t)e.diag);

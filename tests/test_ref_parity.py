@@ -192,14 +192,30 @@ class TestFindClusterAPC:
         assert r.returncode == 0, r.stderr[-2000:]
         assert set(_groups(r.stdout)) == ref_set
 
-    def test_textbook_deviation_bounded(self, work, apc_ref):
-        """The default (textbook exact row-max) path: same gene set, and
-        the deviation stays near-tie-sized — measured 37/40 groups
-        identical (92.5%) on this corpus, asserted >= 75% so the bound
-        has slack for numeric drift without hiding a real regression."""
+    def test_default_is_faithful(self, work, apc_ref):
+        """r5: faithful is the DEFAULT (measured 1.49x over textbook at
+        100k-graph scale, BASELINE.md r5 — quirks are the spec), so a
+        bare `-a apc` must be partition-identical to the reference."""
         ref_orth, ref_set = apc_ref
         ours = run_ours(['swiftortho_tpu.cli.find_cluster', '-i', ref_orth,
                          '-a', 'apc', '-I', '1.5'], cwd=str(work['dir']))
+        assert set(_groups(ours)) == ref_set
+
+    def test_textbook_deviation_bounded(self, work, apc_ref):
+        """The opt-in textbook exact-row-max path (SWIFTORTHO_APC_
+        FAITHFUL=0): same gene set, and the deviation stays
+        near-tie-sized — measured 37/40 groups identical (92.5%) on this
+        corpus, asserted >= 75% so the bound has slack for numeric drift
+        without hiding a real regression."""
+        ref_orth, ref_set = apc_ref
+        env = dict(OUR_ENV, SWIFTORTHO_APC_FAITHFUL='0')
+        r = subprocess.run(
+            [sys.executable, '-m', 'swiftortho_tpu.cli.find_cluster',
+             '-i', ref_orth, '-a', 'apc', '-I', '1.5'],
+            env=env, capture_output=True, text=True, timeout=600,
+            cwd=str(work['dir']))
+        assert r.returncode == 0, r.stderr[-2000:]
+        ours = r.stdout
         our_set = set(_groups(ours))
         ref_genes = set().union(*ref_set)
         our_genes = set().union(*our_set)

@@ -29,7 +29,7 @@ _lib = None
 
 
 _SOURCES = ('banded_sw.cpp', 'chain.cpp', 'groupby.cpp', 'seg.cpp',
-            'fmtrows.cpp', 'apclust.cpp')
+            'fmtrows.cpp', 'apclust.cpp', 'm8parse.cpp')
 _FLAG_SETS = (['-O3', '-march=native'], ['-O3'])
 
 
@@ -156,6 +156,13 @@ def load() -> ctypes.CDLL:
             u8pp, i64p,
             u8pp, ctypes.c_int64, i64p, i64p]
         lib.format_rows.restype = None
+        lib.m8parse_block.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint8,
+            i64p, i64p, f64p, i64p, i64p, i64p, i64p]
+        lib.m8parse_block.restype = ctypes.c_int
+        lib.seg_sum_seq.argtypes = [
+            f64p, i64p, ctypes.c_int64, ctypes.c_int64, f64p]
+        lib.seg_sum_seq.restype = None
         _lib = lib
         return _lib
 
@@ -561,3 +568,62 @@ def gather_rows_native(src: np.ndarray, starts: np.ndarray,
         a[0].ctypes.data_as(i64p), a[1].ctypes.data_as(i64p),
         a[2].ctypes.data_as(i64p), len(a[0]), dst.shape[1],
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+
+
+class M8SepError(ValueError):
+    """A >=12-field row whose qid/sid lacks the taxon separator —
+    parse_sc_rows raises ValueError for these (inference.py:54-55)."""
+
+
+class M8ShortRows(Exception):
+    """Block contains a 12/13-field row: only the pure-Python path
+    implements the reference's first-seen query-length cache
+    (inference.py:69-73), so the fast path must fall back."""
+
+
+def m8parse_block_native(text: bytes, sep: bytes = b'|'):
+    """Parse one block of m8 text (see native/m8parse.cpp contract).
+    Returns (q_local, s_local, floats (n, 6), names list[str])."""
+    lib = load()
+    cap = text.count(b'\n') + 1
+    q = np.empty(cap, np.int64)
+    s = np.empty(cap, np.int64)
+    f = np.empty((cap, 6), np.float64)
+    nrows = np.zeros(1, np.int64)
+    nameoff = np.empty(cap * 2 + 2, np.int64)
+    nnames = np.zeros(1, np.int64)
+    badoff = np.zeros(1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.m8parse_block(
+        ctypes.c_char_p(text), len(text), ord(sep),
+        q.ctypes.data_as(i64p), s.ctypes.data_as(i64p),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        nrows.ctypes.data_as(i64p), nameoff.ctypes.data_as(i64p),
+        nnames.ctypes.data_as(i64p), badoff.ctypes.data_as(i64p))
+    if rc == 1:
+        off = int(badoff[0])
+        qid = text[off:text.find(b'\t', off)].decode(errors='replace')
+        raise M8SepError('id without taxon separator: %r' % qid)
+    if rc == 2:
+        raise M8ShortRows()
+    n = int(nrows[0])
+    m = int(nnames[0])
+    names = [text[nameoff[i * 2]:nameoff[i * 2 + 1]].decode('latin-1')
+             for i in range(m)]
+    return q[:n], s[:n], f[:n], names
+
+
+def seg_sum_seq_native(vals: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Left-fold segmented sums (see m8parse.cpp seg_sum_seq): exact
+    accumulation order of a per-key dict `+=` over sorted-by-key rows."""
+    lib = load()
+    vals = np.ascontiguousarray(vals, np.float64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    out = np.empty(len(starts), np.float64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.seg_sum_seq(vals.ctypes.data_as(f64p),
+                    starts.ctypes.data_as(i64p),
+                    len(starts), len(vals),
+                    out.ctypes.data_as(f64p))
+    return out

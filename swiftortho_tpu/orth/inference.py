@@ -184,8 +184,20 @@ def _n_co_ot(group, sep='|'):
 
 def find_orth_stream(sc_lines: Iterable[str],
                      cfg: OrthConfig | None = None) -> Iterator[str]:
-    """Full inference: .sc lines in, 'REL\\tq\\ts\\tweight' lines out."""
+    """Full inference: .sc lines in, 'REL\\tq\\ts\\tweight' lines out.
+
+    Dispatches to the byte-identical vectorized fast path (orth/fast.py,
+    native m8 parse + numpy segment ops) when the native library is
+    available and the input is 14+ columns; SWIFTORTHO_NATIVE_ORTH=0
+    forces this streaming implementation (the reference-parity oracle —
+    tests pin fast == streaming)."""
     cfg = cfg or OrthConfig()
+    from .fast import try_fast
+    ok, it = try_fast(sc_lines, cfg)
+    if ok:
+        yield from it
+        return
+    sc_lines = it
     sep = cfg.sep
 
     q_ips: List[Tuple[str, str, float]] = []

@@ -128,3 +128,77 @@ class TestOutOfCore:
         from swiftortho_tpu.orth.outofcore import find_orth_stream_ooc
         assert list(find_orth_stream_ooc([], OrthConfig(),
                                          tmpdir=str(tmp_path))) == []
+
+
+class TestFastPath:
+    """orth/fast.py (native m8 parse + vectorized inference) must be
+    BYTE-identical to the streaming oracle (SWIFTORTHO_NATIVE_ORTH=0)
+    on every norm mode and quirky input shape."""
+
+    def _both(self, lines, cfg, monkeypatch):
+        from swiftortho_tpu.orth import fast
+        monkeypatch.setenv('SWIFTORTHO_NATIVE_ORTH', '1')
+        ok, it = fast.try_fast(iter(lines), cfg)
+        fastout = list(it) if ok else None
+        monkeypatch.setenv('SWIFTORTHO_NATIVE_ORTH', '0')
+        slow = list(find_orth_stream(iter(lines), cfg))
+        return ok, fastout, slow
+
+    def test_real_pipeline_identical_all_norms(self, monkeypatch):
+        corpus = make_corpus(n_taxa=4, n_families=12, seed=11,
+                             dup_prob=0.3)
+        db = SeqDB.from_records(corpus.records)
+        sc = list(blastp_stream(db, db, SearchConfig(expect=1e-5,
+                                                     nc=1 << 18,
+                                                     query_batch=64)))
+        for norm in ('no', 'bsr', 'bal'):
+            ok, fastout, slow = self._both(sc, OrthConfig(0.5, 0, norm),
+                                           monkeypatch)
+            assert ok and fastout == slow, norm
+
+    def test_quirk_inputs_identical(self, monkeypatch):
+        # duplicate pairs (sam_tax first-pair quirk feeds on repeats),
+        # same-score ties, unsorted qid runs, dedup-by-max, self hits
+        lines = []
+        for rep in range(3):        # triple pair -> NOT reciprocal (==2)
+            lines.append(_sc('a|1', 'b|1', 50))
+        lines += [_sc('a|1', 'a|2', 70), _sc('a|1', 'a|1', 99),
+                  _sc('a|2', 'a|1', 70), _sc('a|2', 'b|2', 44),
+                  _sc('b|1', 'a|1', 50), _sc('b|1', 'b|2', 60),
+                  _sc('b|2', 'a|2', 44), _sc('b|2', 'b|1', 60),
+                  # a|1 reappears: separate run, merged groups quirk
+                  _sc('a|1', 'b|2', 33), _sc('x|q', 'y|r', 5),
+                  _sc('y|r', 'x|q', 5)]
+        for norm in ('no', 'bsr', 'bal'):
+            ok, fastout, slow = self._both(lines, OrthConfig(0.1, 0,
+                                                             norm),
+                                           monkeypatch)
+            assert ok and fastout == slow, norm
+
+    def test_short_rows_fall_back(self, monkeypatch):
+        # 12-col rows: only the streaming path implements the len_dict
+        # cache; try_fast must decline and return a byte-exact replay
+        from swiftortho_tpu.orth import fast
+        twelve = 'a|1\tb|1\t90.0\t100\t5\t0\t1\t100\t1\t100\t1e-50\t55.0\n'
+        lines = [twelve, twelve.replace('b|1', 'b|2')]
+        monkeypatch.setenv('SWIFTORTHO_NATIVE_ORTH', '1')
+        ok, it = fast.try_fast(iter(lines), OrthConfig(0.1, 0))
+        assert not ok
+        assert list(it) == lines       # replay preserves bytes
+        out = list(find_orth_stream(iter(lines), OrthConfig(0.1, 0)))
+        monkeypatch.setenv('SWIFTORTHO_NATIVE_ORTH', '0')
+        assert out == list(find_orth_stream(iter(lines),
+                                            OrthConfig(0.1, 0)))
+
+    def test_sep_error_raises(self, monkeypatch):
+        monkeypatch.setenv('SWIFTORTHO_NATIVE_ORTH', '1')
+        lines = [_sc('a|1', 'b|1', 50), _sc('nosep', 'b|1', 50)]
+        with pytest.raises(ValueError):
+            list(find_orth_stream(iter(lines), OrthConfig(0.1, 0)))
+
+    def test_env_opt_out(self, monkeypatch):
+        from swiftortho_tpu.orth import fast
+        monkeypatch.setenv('SWIFTORTHO_NATIVE_ORTH', '0')
+        lines = [_sc('a|1', 'b|1', 50)]
+        ok, it = fast.try_fast(iter(lines), OrthConfig())
+        assert not ok and list(it) == lines

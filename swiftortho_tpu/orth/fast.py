@@ -30,7 +30,7 @@ Deviations from the streaming path, named:
 from __future__ import annotations
 
 import io
-from typing import Iterable, Iterator, List, Tuple
+from typing import Iterable, Iterator, List
 
 import numpy as np
 

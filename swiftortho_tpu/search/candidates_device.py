@@ -650,12 +650,14 @@ def generate_candidates_device(q_tokens: np.ndarray, q_lengths: np.ndarray,
                     a = jnp.pad(a, width)
                 return a
 
-            # knob defaults = the r4 on-chip sweep optimum (BASELINE.md:
-            # 42 -> 7.7 s per 512-row block; WC 128/64/32 = 9.8/8.6/7.9,
-            # PB 2^15/2^14/2^13 monotone in the same direction)
+            # knob defaults = the r5 on-chip sweep optimum
+            # (tools/probe_wc_sweep.py, BASELINE.md r5: WC=32 PB=2^12 =
+            # 7.23 s per 512-row block, reproduced across two sessions;
+            # the 9-config WC x PB surface is flat at 7.2-9.7 s — a
+            # plateau set by the chip's 0.031 G elem/s gather rate)
             wc = int(_os.environ.get('SWIFTORTHO_DEVICE_CAND_WC', '32'))
             pb = int(_os.environ.get('SWIFTORTHO_DEVICE_CAND_PB',
-                                     str(1 << 13)))
+                                     str(1 << 12)))
             out4, grp_valid, n_groups = _stage2_expand_chain(
                 rows(buckets), rows(kept), rows(counts),
                 rows(q_dev), rows(qlen_dev),

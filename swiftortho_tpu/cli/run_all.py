@@ -183,8 +183,11 @@ def main(argv=None):
             for t_, s_ in zip(names, (s for _, s in recs)):
                 out.write('>%s\n%s\n' % (t_, s_))
         if trim_alignment_file(raw_path, aln_path):
+            # NB: module-level iter_fasta is shadowed into a local by the
+            # -z fast branch's inner import; import under a fresh name
+            from ..io_fasta import iter_fasta as _iter_fasta
             with open(aln_path) as fh:
-                trimmed = {h.split()[0]: s for h, s in iter_fasta(fh)}
+                trimmed = {h.split()[0]: s for h, s in _iter_fasta(fh)}
             rows = [trimmed[t_] for t_ in names]
         else:
             rows = trim_alignment([s for _, s in recs])

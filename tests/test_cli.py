@@ -160,3 +160,48 @@ class TestRanges:
                       '-O', mode])
             assert r.returncode == 0, r.stderr[-400:]
         assert open(part).read() == open(full).read()
+
+
+class TestRunAllExternalTools:
+    def test_stage5_uses_trimal_and_fasttree_when_present(self, corpus_file,
+                                                          tmp_path):
+        # end-to-end run_all with fake trimal/fasttree on PATH: stage 5
+        # must route through them (reference scripts/run_all.py:213-221)
+        # instead of the built-in trim + NJ
+        import shutil
+        import stat as stat_
+        tooldir = tmp_path / 'tools'
+        tooldir.mkdir()
+
+        def mk(name, body):
+            p = tooldir / name
+            p.write_text('#!/bin/sh\nexport PATH=/usr/bin:/bin\n' + body)
+            p.chmod(p.stat().st_mode | stat_.S_IXUSR)
+
+        mk('trimal', '''echo "$@" > "%s/trimal_argv.txt"
+IN=""; OUT=""
+while [ $# -gt 0 ]; do
+  case "$1" in -in) IN="$2"; shift;; -out) OUT="$2"; shift;; esac
+  shift
+done
+cp "$IN" "$OUT"
+''' % tooldir)
+        mk('fasttree', '''echo "$@" > "%s/fasttree_argv.txt"
+echo "(faketree:1);"
+''' % tooldir)
+        fas = str(tmp_path / 'ext.fsa')
+        shutil.copy(corpus_file, fas)
+        env = dict(ENV, PATH='%s:%s' % (tooldir, os.environ['PATH']))
+        r = subprocess.run(
+            [sys.executable, '-m', 'swiftortho_tpu.cli.run_all', '-i',
+             fas, '-A', 'mcl', '-M', '262144', '-y', '0'],
+            env=env, capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, (r.stderr[-800:], r.stdout[-300:])
+        res = fas + '_results'
+        nwk = open(os.path.join(res, 'ext.fsa.nwk')).read().strip()
+        assert nwk == '(faketree:1);'
+        argv = open(str(tooldir / 'trimal_argv.txt')).read().split()
+        assert argv[-1] == '-automated1'
+        assert (tooldir / 'fasttree_argv.txt').exists()
+        # the raw alignment the trimmer consumed is also on disk
+        assert os.path.getsize(os.path.join(res, 'ext.fsa.aln')) > 0

@@ -9,7 +9,6 @@ from __future__ import annotations
 import sys
 
 from ..config import OrthConfig
-from ..orth.inference import find_orth_stream
 from ._args import apply_platform_env, parse_args
 
 DEFAULTS = {'-i': '', '-c': '0.5', '-y': '0', '-n': 'no',
@@ -29,10 +28,10 @@ def main(argv=None):
     if args['-L'].lower().startswith('y'):
         from ..orth.outofcore import find_orth_stream_ooc as stream
     else:
-        stream = find_orth_stream
+        from ..orth.inference import find_orth_blocks as stream
     with open(args['-i']) as fh:
-        for line in stream(fh, cfg):
-            sys.stdout.write(line)
+        for chunk in stream(fh, cfg):
+            sys.stdout.write(chunk)
     return 0
 
 

@@ -25,7 +25,7 @@ from ..analysis.pan_genome import pan_report
 from ..analysis.phylo import tree_from_alignment
 from ..analysis.rbh import rbh2phy
 from ..cluster.driver import find_cluster_stream
-from ..orth.inference import find_orth_stream
+from ..orth.inference import find_orth_blocks
 from ..search.blastp import blastp_to_file
 from ..utils import fresh, log_event, stage
 from ._args import apply_platform_env, parse_args
@@ -137,8 +137,8 @@ def main(argv=None):
     else:
         with stage('orth'):
             with open(sc_path) as fh, open(opc_path, 'w') as out:
-                for line in find_orth_stream(fh, ocfg):
-                    out.write(line)
+                for block in find_orth_blocks(fh, ocfg):
+                    out.write(block)
     print('orthomcl algorithm time:', time() - t0)
 
     # 3. clustering

@@ -29,7 +29,7 @@ _lib = None
 
 
 _SOURCES = ('banded_sw.cpp', 'chain.cpp', 'groupby.cpp', 'seg.cpp',
-            'fmtrows.cpp', 'apclust.cpp', 'm8parse.cpp')
+            'fmtrows.cpp', 'apclust.cpp', 'm8parse.cpp', 'orthfmt.cpp')
 _FLAG_SETS = (['-O3', '-march=native'], ['-O3'])
 
 
@@ -426,6 +426,65 @@ def format_rows_native(fields: dict, qid_i, qid_blob, qid_off,
     if total < 0:
         raise RuntimeError('format_rows capacity overflow')
     return out[:total].tobytes(), o_end[:n]
+
+
+def py_repr_doubles_native(vals) -> list:
+    """CPython repr(float) of each value via native/orthfmt.cpp —
+    fuzz-parity-tested against str(float) (the orth weight column's
+    formatting contract, orth/inference.py:270-281)."""
+    lib = load()
+    v = np.ascontiguousarray(vals, np.float64)
+    n = len(v)
+    out = np.empty(max(n, 1) * 32, np.uint8)
+    off = np.empty(n + 1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.py_repr_doubles(ctypes.c_int64(n), v.ctypes.data_as(f64p),
+                        out.ctypes.data_as(u8p),
+                        off.ctypes.data_as(i64p))
+    buf = out.tobytes()
+    return [buf[off[i]:off[i + 1]].decode() for i in range(n)]
+
+
+def format_orth_rows_native(tag: str, a_i, b_i, w,
+                            blob, off) -> bytes:
+    """Format n orth output rows 'TAG\\ta\\tb\\tstr(w)\\n' char-for-char
+    like the Python path (see native/orthfmt.cpp).  Names arrive as an
+    encode_blob() pair; returns the concatenated row bytes."""
+    lib = load()
+    a_i = np.ascontiguousarray(a_i, np.int64)
+    b_i = np.ascontiguousarray(b_i, np.int64)
+    w = np.ascontiguousarray(w, np.float64)
+    blob = np.ascontiguousarray(blob, np.uint8)
+    off = np.ascontiguousarray(off, np.int64)
+    n = len(a_i)
+    if len(b_i) != n or len(w) != n:
+        raise ValueError('format_orth_rows: length mismatch')
+    if n and (int(a_i.max()) >= len(off) - 1 or int(b_i.max()) >= len(off) - 1
+              or int(a_i.min()) < 0 or int(b_i.min()) < 0):
+        raise ValueError('format_orth_rows: name index out of range')
+    tagb = np.frombuffer(tag.encode(), np.uint8)
+    cap = int((off[a_i + 1] - off[a_i]).sum()
+              + (off[b_i + 1] - off[b_i]).sum()
+              + n * (len(tagb) + 4 + 32) + 64)
+    out = np.empty(cap, np.uint8)
+    out_n = np.zeros(1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.format_orth_rows(
+        ctypes.c_int64(n), tagb.ctypes.data_as(u8p),
+        ctypes.c_int64(len(tagb)),
+        a_i.ctypes.data_as(i64p), b_i.ctypes.data_as(i64p),
+        w.ctypes.data_as(f64p),
+        blob.ctypes.data_as(u8p), off.ctypes.data_as(i64p),
+        out.ctypes.data_as(u8p), ctypes.c_int64(cap),
+        out_n.ctypes.data_as(i64p))
+    total = int(out_n[0])
+    if total < 0:
+        raise RuntimeError('format_orth_rows capacity overflow')
+    return out[:total].tobytes()
 
 
 def seg_batch_native(tokens: np.ndarray, lengths: np.ndarray,

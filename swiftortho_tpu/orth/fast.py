@@ -135,10 +135,14 @@ def _parse_all(sc_lines: Iterable[str], sep: str):
     return names, q, s, F
 
 
-def try_fast(sc_lines: Iterable[str], cfg: OrthConfig):
-    """Returns (True, output-line iterator) when the fast path applies,
-    else (False, replay iterable) for the pure path.  Never partially
-    consumes the input without returning an equivalent replay."""
+def try_fast(sc_lines: Iterable[str], cfg: OrthConfig, blocks: bool = False):
+    """Returns (True, output iterator) when the fast path applies, else
+    (False, replay iterable) for the pure path.  Never partially
+    consumes the input without returning an equivalent replay.  With
+    ``blocks=True`` the iterator yields large multi-line str blocks
+    (native bulk row formatting) instead of single lines; the
+    concatenated bytes are identical either way (pinned by
+    tests/test_orth.py)."""
     import os
     if os.environ.get('SWIFTORTHO_NATIVE_ORTH', '1') == '0':
         return False, sc_lines
@@ -159,10 +163,47 @@ def try_fast(sc_lines: Iterable[str], cfg: OrthConfig):
                 yield from io.StringIO(text)
             yield from it
         return False, replay()
-    return True, _infer(names, q, s, F, cfg)
+    emit = _infer_blocks if blocks else _infer
+    return True, emit(names, q, s, F, cfg)
 
 
 def _infer(names, q, s, F, cfg) -> Iterator[str]:
+    """Per-line emission (the ``find_orth_stream`` contract)."""
+    for tag, a, b, w in _sections(names, q, s, F, cfg):
+        na = [names[i] for i in a.tolist()]
+        nb = [names[i] for i in b.tolist()]
+        fmt = tag + '\t%s\t%s\t%s\n'
+        for t in zip(na, nb, w.tolist()):
+            yield fmt % t
+
+
+def _infer_blocks(names, q, s, F, cfg) -> Iterator[str]:
+    """Multi-line block emission: rows formatted in bulk by
+    native/orthfmt.cpp (threaded, CPython-repr weights); chunked so no
+    single block exceeds ~2M rows.  Falls back to joining the per-line
+    path if the native formatter is unavailable."""
+    secs = _sections(names, q, s, F, cfg)
+    try:
+        from ..native import encode_blob, format_orth_rows_native
+        blob, off = encode_blob(names)
+    except Exception:
+        from ..utils import warn_fallback
+        warn_fallback('orthfmt', 'native formatter unavailable')
+        for tag, a, b, w in secs:
+            na = [names[i] for i in a.tolist()]
+            nb = [names[i] for i in b.tolist()]
+            fmt = tag + '\t%s\t%s\t%s\n'
+            yield ''.join(fmt % t for t in zip(na, nb, w.tolist()))
+        return
+    chunk = 1 << 21
+    for tag, a, b, w in secs:
+        for st in range(0, len(a), chunk):
+            yield format_orth_rows_native(
+                tag, a[st:st + chunk], b[st:st + chunk],
+                w[st:st + chunk], blob, off).decode()
+
+
+def _sections(names, q, s, F, cfg):
     sep = cfg.sep
     n = len(q)
     idy, aln, qst, qed, sco, qln = (F[:, i] for i in range(6))
@@ -380,13 +421,12 @@ def _infer(names, q, s, F, cfg) -> Iterator[str]:
     cw2 = co_vals[idx_c[found]] if len(co_keys) else np.empty(
         0, np.float64)
 
-    # ---- output (inference.py:258-269 on codes, bulk-formatted) ----
-    if len(lo_idx):
-        ipw = (w_lo / ip_avg_arr[tax_lo]).tolist()
-        na = [names[i] for i in Ia[lo_idx].tolist()]
-        nb = [names[i] for i in Ib[lo_idx].tolist()]
-        for t in zip(na, nb, ipw):
-            yield 'IP\t%s\t%s\t%s\n' % t
+    # ---- output sections (inference.py:258-269 on codes): the row
+    # arrays for IP, then OT, then CO, in emission order; _infer /
+    # _infer_blocks turn them into lines/blocks ----
+    secs = [('IP', Ia[lo_idx], Ib[lo_idx],
+             w_lo / ip_avg_arr[tax_lo] if len(lo_idx)
+             else np.empty(0, np.float64))]
 
     def _weighted_rows(ra, rb, rw):
         """get_sam_tax + n_co_ot (inference.py:148-183) vectorized:
@@ -427,8 +467,5 @@ def _infer(names, q, s, F, cfg) -> Iterator[str]:
 
     for tag, ra, rb, rw in (('OT', Oa, Ob, Ow), ('CO', ca2, cb2, cw2)):
         ka, kb, kw = _weighted_rows(ra, rb, rw)
-        na = [names[i] for i in ka.tolist()]
-        nb = [names[i] for i in kb.tolist()]
-        fmt = tag + '\t%s\t%s\t%s\n'
-        for t in zip(na, nb, kw.tolist()):
-            yield fmt % t
+        secs.append((tag, ka, kb, kw))
+    return secs

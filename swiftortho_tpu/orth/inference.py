@@ -197,7 +197,41 @@ def find_orth_stream(sc_lines: Iterable[str],
     if ok:
         yield from it
         return
-    sc_lines = it
+    yield from _stream_pure(it, cfg)
+
+
+def find_orth_blocks(sc_lines: Iterable[str],
+                     cfg: OrthConfig | None = None) -> Iterator[str]:
+    """``find_orth_stream`` yielded as large multi-line str blocks:
+    ``''.join(find_orth_blocks(x))`` is byte-identical to
+    ``''.join(find_orth_stream(x))`` (pinned by tests/test_orth.py).
+    On the fast path the rows are formatted in bulk by
+    native/orthfmt.cpp (threaded; CPython-repr weights, fuzz-verified
+    == str(float)); otherwise streaming lines are joined into ~4 MiB
+    blocks.  Writers (find_orth_file, run_all, the find_orth CLI) use
+    this; per-line consumers keep ``find_orth_stream``."""
+    cfg = cfg or OrthConfig()
+    from .fast import try_fast
+    ok, it = try_fast(sc_lines, cfg, blocks=True)
+    if ok:
+        yield from it
+        return
+    buf: List[str] = []
+    size = 0
+    for line in _stream_pure(it, cfg):
+        buf.append(line)
+        size += len(line)
+        if size >= (1 << 22):
+            yield ''.join(buf)
+            buf, size = [], 0
+    if buf:
+        yield ''.join(buf)
+
+
+def _stream_pure(sc_lines: Iterable[str],
+                 cfg: OrthConfig) -> Iterator[str]:
+    """The streaming reference-parity oracle (the body behind
+    ``find_orth_stream`` when the fast path does not apply)."""
     sep = cfg.sep
 
     q_ips: List[Tuple[str, str, float]] = []
@@ -288,8 +322,8 @@ def find_orth_file(sc_path: str, out, cfg: OrthConfig | None = None):
         close = True
     try:
         with open(sc_path) as fh:
-            for line in find_orth_stream(fh, cfg):
-                out.write(line)
+            for block in find_orth_blocks(fh, cfg):
+                out.write(block)
     finally:
         if close:
             out.close()

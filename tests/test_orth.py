@@ -202,3 +202,69 @@ class TestFastPath:
         lines = [_sc('a|1', 'b|1', 50)]
         ok, it = fast.try_fast(iter(lines), OrthConfig())
         assert not ok and list(it) == lines
+
+
+class TestNativeOrthFormat:
+    """native/orthfmt.cpp: CPython-repr weight column + bulk row
+    formatting; find_orth_blocks must concatenate byte-identically to
+    find_orth_stream on both the native and fallback branches."""
+
+    def test_repr_fuzz_vs_str(self):
+        import random
+        import struct
+        from swiftortho_tpu.native import py_repr_doubles_native
+        rng = random.Random(13)
+        vals = [0.0, -0.0, 1.0, -1.0, 0.1, 2.0, 1e15, 1e16, -1e16, 1e-4,
+                1e-5, 5e-324, 1.7976931348623157e308, 9.999999999999999e15,
+                1234567890123456.0, 123456789012345680.0, 0.5, 1 / 3,
+                float('inf'), float('-inf'), float('nan'),
+                1.0000000000000002, 1e100, 1e-100, 100.0]
+        for _ in range(20000):
+            x = struct.unpack(
+                '<d', struct.pack('<Q', rng.getrandbits(64)))[0]
+            if x == x and abs(x) != float('inf'):
+                vals.append(x)
+        for _ in range(20000):
+            vals.append(rng.uniform(0, 3) / max(rng.uniform(0, 3), 1e-9))
+        got = py_repr_doubles_native(vals)
+        assert got == [str(v) for v in vals]
+
+    def test_format_rows_matches_python(self):
+        from swiftortho_tpu.native import (encode_blob,
+                                           format_orth_rows_native)
+        names = ['t1|a', 't2|gene_b', 'tax3|x']
+        blob, off = encode_blob(names)
+        a = np.array([0, 2, 1], np.int64)
+        b = np.array([1, 0, 2], np.int64)
+        w = np.array([1.5, 1 / 3, 1e-7], np.float64)
+        out = format_orth_rows_native('OT', a, b, w, blob, off).decode()
+        exp = ''.join('OT\t%s\t%s\t%s\n' % (names[i], names[j], v)
+                      for i, j, v in zip(a, b, w.tolist()))
+        assert out == exp
+
+    def test_format_rows_bad_index_raises(self):
+        from swiftortho_tpu.native import (encode_blob,
+                                           format_orth_rows_native)
+        blob, off = encode_blob(['t|a'])
+        one = np.zeros(1, np.int64)
+        with pytest.raises(ValueError):
+            format_orth_rows_native('OT', one + 5, one,
+                                    np.ones(1), blob, off)
+
+    def test_blocks_identical_to_stream(self, monkeypatch):
+        from swiftortho_tpu.orth.inference import find_orth_blocks
+        corpus = make_corpus(n_taxa=4, n_families=12, seed=11,
+                             dup_prob=0.3)
+        db = SeqDB.from_records(corpus.records)
+        sc = list(blastp_stream(db, db, SearchConfig(expect=1e-5,
+                                                     nc=1 << 18,
+                                                     query_batch=64)))
+        for norm in ('no', 'bsr', 'bal'):
+            cfg = OrthConfig(0.5, 0, norm)
+            monkeypatch.setenv('SWIFTORTHO_NATIVE_ORTH', '1')
+            lines = ''.join(find_orth_stream(iter(sc), cfg))
+            blocks = ''.join(find_orth_blocks(iter(sc), cfg))
+            assert blocks and blocks == lines, norm
+            # fallback branch: streaming lines joined into blocks
+            monkeypatch.setenv('SWIFTORTHO_NATIVE_ORTH', '0')
+            assert ''.join(find_orth_blocks(iter(sc), cfg)) == lines, norm

@@ -94,12 +94,12 @@ def main():
         print('DONE', flush=True)
         return
 
-    from swiftortho_tpu.orth.inference import find_orth_stream
+    from swiftortho_tpu.orth.inference import find_orth_blocks
     opc = os.path.join(td, 'c.opc')
     t0 = time.time()
     with open(sc) as fh, open(opc, 'w') as out:
-        for line in find_orth_stream(fh, OrthConfig()):
-            out.write(line)
+        for block in find_orth_blocks(fh, OrthConfig()):
+            out.write(block)
     t_orth = time.time() - t0
     nedges = sum(1 for _ in open(opc))
     print('ORTH: %.1fs  %d edges' % (t_orth, nedges), flush=True)

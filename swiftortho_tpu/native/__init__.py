@@ -649,7 +649,8 @@ def m8parse_block_native(text: bytes, sep: bytes = b'|'):
     s = np.empty(cap, np.int64)
     f = np.empty((cap, 6), np.float64)
     nrows = np.zeros(1, np.int64)
-    nameoff = np.empty(cap * 2 + 2, np.int64)
+    # names <= 2 per valid row, 2 offsets per name -> up to 4*cap
+    nameoff = np.empty(cap * 4 + 2, np.int64)
     nnames = np.zeros(1, np.int64)
     badoff = np.zeros(1, np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)

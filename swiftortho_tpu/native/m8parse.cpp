@@ -27,10 +27,21 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
 namespace {
+
+unsigned m8_n_threads() {
+    unsigned nt = std::thread::hardware_concurrency();
+    if (const char* env = getenv("SWNATIVE_THREADS")) {
+        long v = atol(env);
+        if (v > 0) nt = (unsigned)v;
+    }
+    if (nt == 0) nt = 1;
+    return nt;
+}
 
 struct SV {
     const char* p;
@@ -79,25 +90,64 @@ extern "C" {
 //   o_q, o_s      int64[cap]   block-local interned ids per valid row
 //   o_f           double[cap*6] idy, aln, qst, qed, score, qln
 //   o_nrows       int64[1]
-//   o_nameoff     int64[cap*2+1] byte offsets of interned names into
-//                 the BLOCK text (start0, end0, start1, end1, ...)
+//   o_nameoff     int64[cap*4+2] byte offsets of interned names into
+//                 the BLOCK text (start0, end0, start1, end1, ...);
+//                 up to 2 fresh names per valid row = 4 offsets
 //   o_nnames      int64[1]
 int m8parse_block(const char* text, int64_t len, uint8_t sep,
                   int64_t* o_q, int64_t* o_s, double* o_f,
                   int64_t* o_nrows, int64_t* o_nameoff,
                   int64_t* o_nnames, int64_t* o_badoff) {
-    std::unordered_map<SV, int64_t, SVHash> intern;
-    intern.reserve(1 << 16);
-    int64_t nrows = 0, nnames = 0;
+    // Threaded over newline-aligned sub-ranges; each worker interns
+    // into a local table and the ranges are merged in text order, so
+    // row order is exactly the sequential parse's.  Block-local id
+    // NUMBERING may differ from the sequential first-seen order — the
+    // caller (orth/fast.py) treats ids as opaque equality keys (ranks/
+    // taxa/output strings all go through the name table), so outputs
+    // are unchanged (the parity suite pins them byte-for-byte).
+    // Anomaly semantics: the sequential parse stops at the FIRST
+    // sep-missing (rc 1) or 12/13-field (rc 2) row; workers record
+    // their first anomaly's line offset and the earliest one in text
+    // order wins, reproducing the sequential rc exactly (the wrapper
+    // discards all partial output on rc != 0).
+    struct Part {
+        std::vector<int64_t> q, s;
+        std::vector<double> f;
+        std::vector<SV> names;
+        int rc = 0;
+        int64_t badoff = 0;
+    };
     const char* base = text;
     const char* end = text + len;
-    const char* line = text;
-    const int NEED = 13;  // field starts tracked: f0..f12
-    const char* fs[NEED + 1];
-    while (line < end) {
+
+    unsigned nt = m8_n_threads();
+    if (len < (1 << 20)) nt = 1;
+    // newline-aligned range starts
+    std::vector<const char*> starts;
+    starts.push_back(text);
+    for (unsigned t = 1; t < nt; t++) {
+        const char* guess = text + (len * t) / nt;
+        if (guess <= starts.back()) continue;
+        const char* nl = (const char*)std::memchr(
+            guess, '\n', (size_t)(end - guess));
+        const char* st = nl ? nl + 1 : end;
+        if (st > starts.back() && st < end) starts.push_back(st);
+    }
+    const unsigned np = (unsigned)starts.size();
+    std::vector<Part> parts(np);
+
+    auto work = [&](unsigned t) {
+        Part& P = parts[t];
+        std::unordered_map<SV, int64_t, SVHash> intern;
+        intern.reserve(1 << 16);
+        const char* line = starts[t];
+        const char* lim = (t + 1 < np) ? starts[t + 1] : end;
+        const int NEED = 13;  // field starts tracked: f0..f12
+        const char* fs[NEED + 1];
+        while (line < lim) {
         const char* nl = (const char*)std::memchr(line, '\n',
-                                                  (size_t)(end - line));
-        const char* le = nl ? nl : end;
+                                                  (size_t)(lim - line));
+        const char* le = nl ? nl : lim;
         // split on '\t' (rstrip('\n') semantics: le excludes the '\n')
         int nf = 0;
         fs[0] = line;
@@ -116,7 +166,8 @@ int m8parse_block(const char* text, int64_t len, uint8_t sep,
         for (const char* t = c; t < le; t++)
             if (*t == '\t') extra++;
         const int nfields = nf + 1 + (nf == NEED ? extra : 0);
-        line = nl ? nl + 1 : end;
+        const char* lstart = line;
+        line = nl ? nl + 1 : lim;
         if (nfields < 12) continue;
         // field k spans [fs[k], end of field)
         auto fend = [&](int k) -> const char* {
@@ -132,10 +183,15 @@ int m8parse_block(const char* text, int64_t len, uint8_t sep,
         const char* s1 = fend(1);
         if (!std::memchr(q0, sep, (size_t)(q1 - q0))
             || !std::memchr(s0, sep, (size_t)(s1 - s0))) {
-            *o_badoff = (int64_t)(q0 - base);
-            return 1;
+            P.rc = 1;
+            P.badoff = (int64_t)(lstart - base);
+            break;
         }
-        if (nfields < 14) return 2;  // python path owns len_dict rows
+        if (nfields < 14) {          // python path owns len_dict rows
+            P.rc = 2;
+            P.badoff = (int64_t)(lstart - base);
+            break;
+        }
         double idy, aln, qst, qed, sco, qln;
         if (!py_float(fs[2], fend(2), &idy)) continue;
         if (!py_float(fs[3], fend(3), &aln)) continue;
@@ -147,18 +203,69 @@ int m8parse_block(const char* text, int64_t len, uint8_t sep,
             SV key{b, (size_t)(e2 - b)};
             auto it = intern.find(key);
             if (it != intern.end()) return it->second;
-            int64_t id = nnames++;
+            int64_t id = (int64_t)P.names.size();
             intern.emplace(key, id);
-            o_nameoff[id * 2] = (int64_t)(b - base);
-            o_nameoff[id * 2 + 1] = (int64_t)(e2 - base);
+            P.names.push_back(key);
             return id;
         };
-        o_q[nrows] = get_id(q0, q1);
-        o_s[nrows] = get_id(s0, s1);
-        double* f = o_f + nrows * 6;
-        f[0] = idy; f[1] = aln; f[2] = qst; f[3] = qed; f[4] = sco;
-        f[5] = qln;
-        nrows++;
+        P.q.push_back(get_id(q0, q1));
+        P.s.push_back(get_id(s0, s1));
+        P.f.push_back(idy); P.f.push_back(aln); P.f.push_back(qst);
+        P.f.push_back(qed); P.f.push_back(sco); P.f.push_back(qln);
+        }
+    };
+    {
+        std::vector<std::thread> threads;
+        for (unsigned t = 1; t < np; t++) threads.emplace_back(work, t);
+        work(0);
+        for (auto& th : threads) th.join();
+    }
+
+    // earliest anomaly in text order wins (== the sequential rc)
+    int rc = 0;
+    int64_t badoff = 0;
+    for (unsigned t = 0; t < np; t++) {
+        if (parts[t].rc && (!rc || parts[t].badoff < badoff)) {
+            rc = parts[t].rc;
+            badoff = parts[t].badoff;
+        }
+    }
+    if (rc) {
+        *o_badoff = badoff;
+        *o_nrows = 0;
+        *o_nnames = 0;
+        return rc;
+    }
+
+    // merge: block intern over per-thread names, rows in text order
+    std::unordered_map<SV, int64_t, SVHash> intern;
+    intern.reserve(1 << 16);
+    int64_t nrows = 0, nnames = 0;
+    std::vector<int64_t> lut;
+    for (unsigned t = 0; t < np; t++) {
+        Part& P = parts[t];
+        lut.resize(P.names.size());
+        for (size_t i = 0; i < P.names.size(); i++) {
+            const SV key = P.names[i];
+            auto it = intern.find(key);
+            if (it != intern.end()) {
+                lut[i] = it->second;
+            } else {
+                const int64_t id = nnames++;
+                intern.emplace(key, id);
+                o_nameoff[id * 2] = (int64_t)(key.p - base);
+                o_nameoff[id * 2 + 1] = (int64_t)(key.p + key.n - base);
+                lut[i] = id;
+            }
+        }
+        const size_t nr = P.q.size();
+        for (size_t i = 0; i < nr; i++) {
+            o_q[nrows + (int64_t)i] = lut[P.q[i]];
+            o_s[nrows + (int64_t)i] = lut[P.s[i]];
+        }
+        std::memcpy(o_f + nrows * 6, P.f.data(),
+                    nr * 6 * sizeof(double));
+        nrows += (int64_t)nr;
     }
     *o_nrows = nrows;
     *o_nnames = nnames;

@@ -86,35 +86,74 @@ class _ShortRows(Exception):
 
 def _parse_all(sc_lines: Iterable[str], sep: str):
     """Consume the whole input, returning (names, q, s, F) with global
-    interned codes.  Raises _ShortRows (with the buffered text attached)
-    when a 12/13-column row requires the pure-Python path."""
+    interned codes.  Raises _ShortRows (with the buffered text attached
+    plus a replay of the unconsumed remainder) when a 12/13-column row
+    requires the pure-Python path.
+
+    File-like inputs (anything with a callable ``read``) are consumed
+    by bulk reads re-aligned to newline boundaries — ~4x cheaper than
+    iterating 15M+ line objects; iterables fall back to line batching.
+    The remainder replay reproduces the exact line stream either way
+    (a partial read tail is rejoined with the rest of its line)."""
     from ..native import M8ShortRows, m8parse_block_native
 
     names: List[str] = []
     gid = {}
     chunks_text: List[str] = []
     parts_q, parts_s, parts_f = [], [], []
-    it = iter(sc_lines)
-    done = False
-    while not done:
-        buf: List[str] = []
-        size = 0
-        for line in it:
-            buf.append(line)
-            size += len(line)
-            if size >= _CHUNK_BYTES:
-                break
-        else:
-            done = True
-        if not buf:
-            break
-        text = ''.join(buf)
+
+    read = getattr(sc_lines, 'read', None)
+    if callable(read):
+        def texts():
+            tail = ''
+            while True:
+                block = read(_CHUNK_BYTES)
+                if not block:
+                    if tail:
+                        yield tail, ''
+                    return
+                if tail:
+                    block = tail + block
+                cut = block.rfind('\n')
+                if cut < 0:
+                    tail = block
+                    continue
+                tail = block[cut + 1:]
+                yield block[:cut + 1], tail
+
+        def rest_after(tail):
+            line = tail + (sc_lines.readline() if tail else '')
+            if line:
+                yield line
+            yield from sc_lines
+    else:
+        it = iter(sc_lines)
+
+        def texts():
+            done = False
+            while not done:
+                buf: List[str] = []
+                size = 0
+                for line in it:
+                    buf.append(line)
+                    size += len(line)
+                    if size >= _CHUNK_BYTES:
+                        break
+                else:
+                    done = True
+                if buf:
+                    yield ''.join(buf), None
+
+        def rest_after(_tail):
+            return it
+
+    for text, tail in texts():
         chunks_text.append(text)
         try:
             q, s, f, local = m8parse_block_native(
                 text.encode('utf-8'), sep.encode('utf-8'))
         except M8ShortRows:
-            raise _ShortRows(chunks_text, it)
+            raise _ShortRows(chunks_text, rest_after(tail))
         lmap = np.empty(len(local), np.int64)
         for i, name in enumerate(local):
             j = gid.get(name)

@@ -268,3 +268,22 @@ class TestNativeOrthFormat:
             # fallback branch: streaming lines joined into blocks
             monkeypatch.setenv('SWIFTORTHO_NATIVE_ORTH', '0')
             assert ''.join(find_orth_blocks(iter(sc), cfg)) == lines, norm
+
+    def test_file_input_matches_list_input(self, tmp_path, monkeypatch):
+        # _parse_all's bulk-read branch (file-like) must match the
+        # line-iterable branch, including the _ShortRows replay when a
+        # 12-col row forces the pure path mid-file
+        monkeypatch.setenv('SWIFTORTHO_NATIVE_ORTH', '1')
+        full = [_sc('a|%d' % i, 'b|%d' % (i % 7), 50 + i) for i in range(50)]
+        twelve = 'a|1\tb|1\t90.0\t100\t5\t0\t1\t100\t1\t100\t1e-50\t55.0\n'
+        for lines in (full, full[:20] + [twelve] + full[20:]):
+            p = tmp_path / 'in.sc'
+            p.write_text(''.join(lines))
+            cfg = OrthConfig(0.1, 0)
+            with open(p) as fh:
+                from_file = list(find_orth_stream(fh, cfg))
+            assert from_file == list(find_orth_stream(iter(lines), cfg))
+            from swiftortho_tpu.orth.inference import find_orth_blocks
+            with open(p) as fh:
+                blocks = ''.join(find_orth_blocks(fh, cfg))
+            assert blocks == ''.join(from_file)
